@@ -1,0 +1,165 @@
+"""The ELAS stereo pipeline, assembled TPU-first.
+
+The reference ships three copy-pasted implementations (serial SSE2, OpenMP,
+CUDA — src/{serial,omp,parallel}_includes/elas/) behind one `Elas::process`
+entry (src/serial_includes/elas/elas.cpp:31-150).  Here there is exactly one
+pipeline; "variants" are execution configs (interpret/CPU for tests, one
+chip, or a sharded mesh via stereovision_tpu.parallel).
+
+Structure:
+  device stage A  descriptors + support matching      (ops.descriptor/support)
+  host middle     Delaunay + plane fit + rasterize    (ops.planes / hostlib)
+  device stage B  grid masks + dense matching + post  (ops.grid/matching/postprocess)
+
+The host middle is tiny (O(#support) ≈ thousands) and fixed-shape-padded;
+`ElasEngine.process` runs it synchronously, `process_jit` wraps it in
+`jax.pure_callback` so the whole pipeline is a single jittable function, and
+the streaming engine (stereovision_tpu.engine) overlaps it with device work
+across frames.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import ElasParams
+from ..ops.descriptor import compute_descriptor
+from ..ops.support import support_matches
+from ..ops.grid import build_grid_mask
+from ..ops.matching import compute_disparity
+from ..ops import postprocess as post
+from ..ops.planes import host_geometry
+
+
+class ElasEngine:
+    """Static-shape ELAS pipeline for one image size."""
+
+    def __init__(self, params: ElasParams, width: int, height: int,
+                 rasterize=None, use_pallas: bool = False):
+        self.p = params
+        self.width = int(width)
+        self.height = int(height)
+        step = params.step
+        self.Hc = -(-self.height // step)
+        self.Wc = -(-self.width // step)
+        self.n_max = self.Hc * self.Wc + 6
+        self.t_max = 2 * self.n_max + 8
+        self._rasterize = rasterize
+        self.use_pallas = use_pallas
+
+        self._stage_support = jax.jit(self._stage_support_impl)
+        self._stage_dense = jax.jit(self._stage_dense_impl)
+
+    # ---- device stage A ---------------------------------------------------
+
+    def _stage_support_impl(self, I1, I2):
+        desc1 = compute_descriptor(I1)
+        desc2 = compute_descriptor(I2)
+        if self.use_pallas:
+            from ..ops.pallas import support_pl
+            d_can = support_pl.support_matches(desc1, desc2, self.p)
+        else:
+            d_can = support_matches(desc1, desc2, self.p)
+        return desc1, desc2, d_can
+
+    # ---- host middle ------------------------------------------------------
+
+    def host_mid(self, d_can: np.ndarray) -> Dict[str, np.ndarray]:
+        """Support grid -> padded geometry arrays (fixed shapes)."""
+        g = host_geometry(np.asarray(d_can), self.p, self.width, self.height,
+                          rasterize=self._rasterize)
+        pts = np.full((self.n_max, 3), -1, np.int32)
+        n = min(len(g["pts"]), self.n_max)
+        pts[:n] = g["pts"][:n]
+        out = {"pts": pts}
+        for tag in ("l", "r"):
+            pl = np.zeros((self.t_max, 4), np.float32)
+            t = min(len(g["planes_" + tag]), self.t_max)
+            pl[:t] = g["planes_" + tag][:t]
+            out["planes_" + tag] = pl
+            out["tri_" + tag] = g["tri_id_" + tag].astype(np.int32)
+        return out
+
+    # ---- device stage B ---------------------------------------------------
+
+    def _stage_dense_impl(self, desc1, desc2, pts, planes_l, planes_r,
+                          tri_l, tri_r):
+        p = self.p
+        grid_l = build_grid_mask(pts, p, self.width, self.height,
+                                 right_image=False)
+        grid_r = build_grid_mask(pts, p, self.width, self.height,
+                                 right_image=True)
+        if self.use_pallas:
+            from ..ops.pallas import matching_pl
+            match = matching_pl.compute_disparity
+        else:
+            match = compute_disparity
+        D1 = match(desc1, desc2, tri_l, planes_l, grid_l, p,
+                   right_image=False)
+        D2 = match(desc2, desc1, tri_r, planes_r, grid_r, p,
+                   right_image=True)
+
+        D1, D2 = post.lr_consistency_check(D1, D2, p)
+        D1 = post.remove_small_segments(D1, p)
+        if not p.postprocess_only_left:
+            D2 = post.remove_small_segments(D2, p)
+        D1 = post.gap_interpolation(D1, p)
+        if not p.postprocess_only_left:
+            D2 = post.gap_interpolation(D2, p)
+        if p.filter_adaptive_mean:
+            D1 = post.adaptive_mean(D1, p)
+            if not p.postprocess_only_left:
+                D2 = post.adaptive_mean(D2, p)
+        if p.filter_median:
+            D1 = post.median_filter(D1, p)
+            if not p.postprocess_only_left:
+                D2 = post.median_filter(D2, p)
+        return D1, D2
+
+    # ---- public entry points ---------------------------------------------
+
+    def process(self, I1, I2) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Blocking single-frame processing (device -> host -> device).
+        I1, I2: (H, W) uint8 grayscale.  Returns (D1, D2) float32 disparity
+        maps (-10 / -1 = invalid), half size under subsampling."""
+        desc1, desc2, d_can = self._stage_support(jnp.asarray(I1),
+                                                  jnp.asarray(I2))
+        g = self.host_mid(np.asarray(d_can))
+        return self._stage_dense(desc1, desc2,
+                                 jnp.asarray(g["pts"]),
+                                 jnp.asarray(g["planes_l"]),
+                                 jnp.asarray(g["planes_r"]),
+                                 jnp.asarray(g["tri_l"]),
+                                 jnp.asarray(g["tri_r"]))
+
+    # Fully-jittable variant: host middle runs via pure_callback.
+
+    def _host_mid_flat(self, d_can):
+        g = self.host_mid(np.asarray(d_can))
+        return (g["pts"], g["planes_l"], g["planes_r"],
+                g["tri_l"], g["tri_r"])
+
+    @functools.cached_property
+    def process_jit(self):
+        H, W = self.height, self.width
+        out_types = (
+            jax.ShapeDtypeStruct((self.n_max, 3), np.int32),
+            jax.ShapeDtypeStruct((self.t_max, 4), np.float32),
+            jax.ShapeDtypeStruct((self.t_max, 4), np.float32),
+            jax.ShapeDtypeStruct((H, W), np.int32),
+            jax.ShapeDtypeStruct((H, W), np.int32),
+        )
+
+        def run(I1, I2):
+            desc1, desc2, d_can = self._stage_support_impl(I1, I2)
+            pts, pl_l, pl_r, tri_l, tri_r = jax.pure_callback(
+                self._host_mid_flat, out_types, d_can)
+            return self._stage_dense_impl(desc1, desc2, pts, pl_l, pl_r,
+                                          tri_l, tri_r)
+
+        return jax.jit(run)

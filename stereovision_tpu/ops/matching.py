@@ -1,0 +1,124 @@
+"""Dense MAP disparity matching as a masked scan over the disparity axis.
+
+Reference semantics (src/serial_includes/elas/elas.cpp:688-944): for each
+pixel inside a triangle, candidates are (a) the grid cell's disparity list
+excluding the plane window, evaluated with the raw 16-byte SAD, then (b) the
+plane window [d_plane - r, d_plane + r], evaluated with SAD + negative-log
+prior P[|d - d_plane|] (prior applied only when the plane is not too
+slanted).  The minimum is strict, so ties resolve to the earliest candidate
+in evaluation order: grid candidates (ascending d) before window candidates
+(ascending d).
+
+TPU formulation: one `lax.fori_loop` over d.  Each step computes the SAD
+image |A - shift(B, d)| (pure VPU work), a per-pixel candidate mask from the
+(D, gh, gw) grid mask + plane window, and folds a lexicographic key
+  key = ((val + off) * 2 + in_window) * 512 + d
+into a running minimum — which reproduces the reference's tie-breaking
+exactly while staying a dense elementwise program.  The GPU reference
+(src/parallel_includes/elas/elas_gpu.cu:17-150) approximates the same thing
+one CUDA thread per pixel; here the whole image is one vectorized scan.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import ElasParams
+from .grid import cell_index_maps
+
+_BIG = 2**30  # python int: safe trace-time constant
+
+
+def compute_disparity(desc_self: jnp.ndarray, desc_other: jnp.ndarray,
+                      tri_id: jnp.ndarray, planes: jnp.ndarray,
+                      grid_mask: jnp.ndarray, p: ElasParams,
+                      right_image: bool) -> jnp.ndarray:
+    """One matching pass (left or right reference image).
+
+    desc_self/other: (16, H, W) uint8; tri_id: (H, W) int32 (-1 = none);
+    planes: (T, 4) f32 rows [a, b, c, a_other]; grid_mask: (D, gh, gw) bool.
+    Returns D: (Ho, Wo) float32 (-10 invalid), halved under subsampling.
+    """
+    _, H, W = desc_self.shape
+    Ho, Wo = p.out_shape(W, H)
+    sub = 2 if p.subsampling else 1
+    D = p.disp_num
+    R = p.plane_radius
+    P_tab = p.prior_table()
+    off = int(max(512, 1 - int(P_tab.min())))
+
+    v_full = np.arange(Ho) * sub                     # (Ho,)
+    u_full = np.arange(Wo) * sub                     # (Wo,)
+    line_rows = np.clip(v_full, 2, H - 3)            # reference elas.cpp:718
+
+    A = desc_self[:, line_rows, :]                   # (16, Ho, W)
+    B = desc_other[:, line_rows, :]
+    Ai = A.astype(jnp.int32)
+    # Pad B so a dynamic slice gives B[..., u -/+ d].
+    if right_image:
+        Bpad = jnp.pad(B, ((0, 0), (0, 0), (0, D)))  # B[..., u + d]
+    else:
+        Bpad = jnp.pad(B, ((0, 0), (0, 0), (D, 0)))  # B[..., u - d]
+
+    # Per-pixel plane prior quantities (computed once, on the output lattice).
+    tid = tri_id[v_full][:, u_full]                  # (Ho, Wo)
+    has_tri = tid >= 0
+    pl = planes[jnp.clip(tid, 0)]                    # (Ho, Wo, 4)
+    a, b, c, a_other = (pl[..., 0], pl[..., 1], pl[..., 2], pl[..., 3])
+    uf = u_full.astype(np.float32)[None, :]
+    vf = v_full.astype(np.float32)[:, None]
+    d_plane = jnp.trunc(a * uf + b * vf + c).astype(jnp.int32)
+    d_win_lo = jnp.maximum(d_plane - R, 0)
+    d_win_hi = jnp.minimum(d_plane + R, D - 1)
+    plane_valid = (jnp.abs(a) < 0.7) & (jnp.abs(a_other) < 0.7)
+
+    # Grid-cell lookup tables (full-res coordinates, elas.cpp:744-745).
+    cr, cc = cell_index_maps(p, W, H)
+    cell_r = cr[v_full]                              # (Ho,)
+    cell_c = cc[u_full]                              # (Wo,)
+
+    u_out = u_full.astype(np.int32)[None, :]
+    # LUT must be a jax array to be gathered with a traced index; created
+    # under trace, it lowers to an embedded constant (no device round-trip).
+    P_j = jnp.asarray(P_tab)
+
+    def body(d, best):
+        if right_image:
+            Bd = jax.lax.dynamic_slice_in_dim(Bpad, d, W, axis=2)
+        else:
+            Bd = jax.lax.dynamic_slice_in_dim(Bpad, D - d, W, axis=2)
+        E = jnp.sum(jnp.abs(Ai - Bd.astype(jnp.int32)), axis=0)   # (Ho, W)
+        Eo = E[:, u_full]                                          # (Ho, Wo)
+
+        in_win = (d >= d_win_lo) & (d <= d_win_hi)
+        gslice = grid_mask[d][cell_r][:, cell_c]                   # (Ho, Wo)
+        if right_image:
+            u_warp = u_out + d
+        else:
+            u_warp = u_out - d
+        warp_ok = (u_warp >= 2) & (u_warp <= W - 3)
+        cand = ((gslice & ~in_win) | in_win) & warp_ok
+
+        delta = jnp.clip(jnp.abs(d - d_plane), 0, D - 1)
+        prior = jnp.where(in_win & plane_valid, P_j[delta], 0)
+        val = Eo + prior
+        key = ((val + off) * 2 + in_win.astype(jnp.int32)) * 512 + d
+        return jnp.minimum(best, jnp.where(cand, key, _BIG))
+
+    best = jax.lax.fori_loop(0, D, body,
+                             jnp.full((Ho, Wo), _BIG, jnp.int32))
+
+    # Pixel-level gates (reference elas.cpp:713-736).
+    tex = jnp.sum(jnp.abs(Ai - 128), axis=0)[:, u_full]
+    u_ok = (u_out >= 2) & (u_out <= W - 3)
+    ok = has_tri & u_ok & (tex >= p.match_texture) & (best < _BIG)
+    d_best = jnp.mod(best, 512).astype(jnp.float32)
+    # findMatch writes -1 when no candidate survived but the pixel was
+    # visited; unvisited pixels keep the -10 initialization
+    # (elas.cpp:797-800, 819-824).  Downstream treats both identically.
+    visited = has_tri & u_ok & (tex >= p.match_texture)
+    out = jnp.where(ok, d_best,
+                    jnp.where(visited, jnp.float32(-1), jnp.float32(-10)))
+    return out

@@ -1,0 +1,250 @@
+"""Disparity post-processing: L/R consistency, speckle removal, gap
+interpolation, adaptive mean (bilateral approximation), separable median.
+
+Each stage is a dense re-formulation of the sequential reference code with
+identical results on the deterministic parts:
+
+  leftRightConsistencyCheck  src/serial_includes/elas/elas.cpp:946-1011
+  removeSmallSegments        elas.cpp:1013-1124 (BFS flood fill ->
+                             min-label propagation + pointer jumping)
+  gapInterpolation           elas.cpp:1126-1294 (run scans -> prefix/suffix
+                             index maxima)
+  adaptiveMean               elas.cpp:1297-1494 (SSE ring buffer -> stencil)
+  median                     elas.cpp:1496-1559 (separable 7-tap)
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import ElasParams
+
+_INVALID = -10.0
+
+
+# ---------------------------------------------------------------------------
+# L/R consistency check
+
+def lr_consistency_check(D1, D2, p: ElasParams):
+    """Invalidate pixels whose disparity disagrees with the other image's
+    disparity at the warped location (reference elas.cpp:946-1011)."""
+    H, W = D1.shape
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    scale = 0.5 if p.subsampling else 1.0
+
+    def check(Da, Db, sign):
+        uw = u + sign * Da * scale
+        in_img = (Da >= 0) & (uw >= 0) & (uw < W)
+        idx = jnp.clip(uw.astype(jnp.int32), 0, W - 1)
+        db = jnp.take_along_axis(Db, idx, axis=1)
+        bad = jnp.abs(db - Da) > p.lr_threshold
+        return jnp.where(in_img & ~bad, Da, _INVALID)
+
+    return check(D1, D2, -1.0), check(D2, D1, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Speckle removal (connected components on |Δd| <= sim edges)
+
+def _neighbor_shift(x, dy, dx, fill):
+    h, w = x.shape
+    xp = jnp.pad(x, ((max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))),
+                 constant_values=fill)
+    return xp[max(dy, 0):max(dy, 0) + h, max(dx, 0):max(dx, 0) + w]
+
+
+def remove_small_segments(D, p: ElasParams):
+    """Remove connected segments (4-connectivity, |Δd| <= sim threshold)
+    smaller than speckle_size pixels (reference elas.cpp:1013-1124).
+
+    Connected-component labelling via min-label propagation with pointer
+    jumping (the parallel reformulation of the sequential BFS): each
+    iteration takes the minimum label over connected neighbours and then
+    compresses twice via label = label[label].  Runs inside jit with a
+    convergence-tested while_loop.
+    """
+    H, W = D.shape
+    speckle = p.speckle_size
+    if p.subsampling:
+        speckle = int(math.sqrt(float(p.speckle_size)) * 2)
+
+    valid = D >= 0
+    # Edges: neighbour valid AND |D - Dn| <= sim (both endpoints valid;
+    # invalid pixels form singletons, exactly as in the reference where the
+    # BFS from an invalid pixel can never add a neighbour).
+    edges = {}
+    for (dy, dx) in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        nb = _neighbor_shift(D, dy, dx, -1e9)
+        nb_valid = _neighbor_shift(valid, dy, dx, False)
+        edges[(dy, dx)] = (valid & nb_valid
+                           & (jnp.abs(D - nb) <= p.speckle_sim_threshold))
+
+    n = H * W
+    init = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
+
+    def step(state):
+        lab, _ = state
+        m = lab
+        for (dy, dx), e in edges.items():
+            nb = _neighbor_shift(lab, dy, dx, n)
+            m = jnp.minimum(m, jnp.where(e, nb, n))
+        flat = m.reshape(-1)
+        flat = flat[flat]          # pointer jump
+        flat = flat[flat]
+        new = flat.reshape(H, W)
+        return new, jnp.any(new != lab)
+
+    def cond(state):
+        return state[1]
+
+    lab, _ = jax.lax.while_loop(cond, step, (init, jnp.bool_(True)))
+
+    sizes = jnp.zeros((n,), jnp.int32).at[lab.reshape(-1)].add(1)
+    seg_size = sizes[lab]
+    return jnp.where(valid & (seg_size < speckle), _INVALID, D)
+
+
+# ---------------------------------------------------------------------------
+# Gap interpolation
+
+def _gap_pass_rows(D, gap: int, add_corners: bool):
+    """One row-direction pass of gapInterpolation (reference
+    elas.cpp:1144-1216), vectorized over rows."""
+    H, W = D.shape
+    valid = D >= 0
+    idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    prev = jax.lax.cummax(jnp.where(valid, idx, -1), axis=1)
+    nxt_rev = jax.lax.cummax(
+        jnp.where(valid, W - 1 - idx, -1)[:, ::-1], axis=1)[:, ::-1]
+    nxt = jnp.where(nxt_rev >= 0, W - 1 - nxt_rev, W)
+
+    count = nxt - prev - 1
+    can_fill = (~valid) & (prev >= 0) & (nxt < W) & (count >= 1) & (count <= gap)
+    d1 = jnp.take_along_axis(D, jnp.clip(prev, 0), axis=1)
+    d2 = jnp.take_along_axis(D, jnp.clip(nxt, 0, W - 1), axis=1)
+    fill = jnp.where(jnp.abs(d1 - d2) < 3.0, 0.5 * (d1 + d2),
+                     jnp.minimum(d1, d2))
+    out = jnp.where(can_fill, fill, D)
+
+    if add_corners:
+        first = jnp.min(jnp.where(valid, idx, W), axis=1, keepdims=True)
+        last = jnp.max(jnp.where(valid, idx, -1), axis=1, keepdims=True)
+        d_first = jnp.take_along_axis(D, jnp.clip(first, 0, W - 1), axis=1)
+        d_last = jnp.take_along_axis(D, jnp.clip(last, 0), axis=1)
+        left = (idx < first) & (idx >= first - gap) & (first < W)
+        right = (idx > last) & (idx <= last + gap) & (last >= 0)
+        out = jnp.where(left, d_first, out)
+        out = jnp.where(right, d_last, out)
+    return out
+
+
+def gap_interpolation(D, p: ElasParams):
+    """Row pass then column pass (reference elas.cpp:1126-1294)."""
+    gap = p.ipol_gap_width
+    if p.subsampling:
+        gap = p.ipol_gap_width // 2 + 1
+    out = _gap_pass_rows(D, gap, p.add_corners)
+    out = _gap_pass_rows(out.T, gap, p.add_corners).T
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Adaptive mean (approximated bilateral)
+
+def _adaptive_pass(x, offsets, axis: int, centre_lo: int, centre_hi_excl: int,
+                   ortho_lo: int, ortho_hi_excl: int):
+    """One directional pass: for centres in [centre_lo, centre_hi) along
+    `axis` and orthogonal coordinate in [ortho_lo, ortho_hi), compute the
+    adaptive mean over taps at centre+j for j in `offsets`; write only where
+    the result is >= 0 (reference elas.cpp:1332-1485)."""
+    H, W = x.shape
+    wsum = jnp.zeros(x.shape, jnp.float32)
+    fsum = jnp.zeros(x.shape, jnp.float32)
+    for j in offsets:
+        shift = (j, 0) if axis == 0 else (0, j)
+        tap = _neighbor_shift(x, *shift, fill=-10.0)
+        wgt = jnp.maximum(0.0, 4.0 - jnp.abs(tap - x))
+        wsum = wsum + wgt
+        fsum = fsum + wgt * tap
+    d = fsum / jnp.maximum(wsum, 1e-20)
+    write = (wsum > 0) & (d >= 0)
+
+    ci = jnp.arange(H if axis == 0 else W)
+    oi = jnp.arange(W if axis == 0 else H)
+    c_ok = (ci >= centre_lo) & (ci < centre_hi_excl)
+    o_ok = (oi >= ortho_lo) & (oi < ortho_hi_excl)
+    region = (c_ok[:, None] & o_ok[None, :]) if axis == 0 \
+        else (o_ok[:, None] & c_ok[None, :])
+    written = region & write
+    return jnp.where(written, d, x), written
+
+
+def adaptive_mean(D, p: ElasParams):
+    """Separable approximated bilateral filter (reference elas.cpp:1297-1494).
+
+    Full resolution: 8-tap window, offsets [-4..+3] around the centre,
+    weights max(0, 4 - |tap - centre|); horizontal pass writes centres
+    u in [4, W-4], rows v in [3, H-4]; the vertical pass consumes the
+    horizontal result, centres v in [4, H-4], cols u in [3, W-4].
+    Under subsampling the window is 4 taps, offsets [-2..+1], centres from 2.
+    Unwritten positions keep their input values (the reference leaves them
+    as uninitialized heap there — zero-information either way since they are
+    border pixels; keeping the input is the deterministic choice).
+    """
+    H, W = D.shape
+    Dc = jnp.where(D < 0, _INVALID, D)
+    if p.subsampling:
+        offs = range(-2, 2)
+        tmp, _ = _adaptive_pass(Dc, offs, axis=1, centre_lo=2,
+                                centre_hi_excl=W - 1, ortho_lo=3,
+                                ortho_hi_excl=H - 3)
+        val, written = _adaptive_pass(tmp, offs, axis=0, centre_lo=2,
+                                      centre_hi_excl=H - 1, ortho_lo=3,
+                                      ortho_hi_excl=W - 3)
+    else:
+        offs = range(-4, 4)
+        tmp, _ = _adaptive_pass(Dc, offs, axis=1, centre_lo=4,
+                                centre_hi_excl=W - 3, ortho_lo=3,
+                                ortho_hi_excl=H - 3)
+        val, written = _adaptive_pass(tmp, offs, axis=0, centre_lo=4,
+                                      centre_hi_excl=H - 3, ortho_lo=3,
+                                      ortho_hi_excl=W - 3)
+    # The horizontal result only lives in the temp buffer; the final image
+    # takes vertical-pass values where written and the ORIGINAL D elsewhere
+    # (reference writes the vertical pass into D in place).
+    return jnp.where(written, val, D)
+
+
+# ---------------------------------------------------------------------------
+# Separable median
+
+def _median_taps(x, axis: int, fill):
+    taps = []
+    for j in range(-3, 4):
+        shift = (j, 0) if axis == 0 else (0, j)
+        taps.append(_neighbor_shift(x, *shift, fill=fill))
+    stack = jnp.stack(taps, axis=0)
+    return jnp.sort(stack, axis=0)[3]
+
+
+def median_filter(D, p: ElasParams):
+    """Two-pass 7-tap separable median (reference elas.cpp:1496-1559).
+    Pass 1 writes horizontal medians of D into a zero-initialized temp
+    (only where D >= 0, only for u, v in [3, n-4]); pass 2 writes vertical
+    medians of the temp back into D under the same conditions."""
+    H, W = D.shape
+    ui = jnp.arange(W)[None, :]
+    vi = jnp.arange(H)[:, None]
+    region = (ui >= 3) & (ui < W - 3) & (vi >= 3) & (vi < H - 3)
+
+    med_h = _median_taps(D, axis=1, fill=0.0)
+    tmp = jnp.where(region, jnp.where(D >= 0, med_h, D), 0.0)
+
+    med_v = _median_taps(tmp, axis=0, fill=0.0)
+    out = jnp.where(region & (D >= 0), med_v, D)
+    return out
