@@ -1,0 +1,223 @@
+"""StereoEngine: calibrated frames -> disparity + point cloud, with the
+reference application's exact output conventions, plus a pipelined streaming
+mode that overlaps the host geometry stage with device compute.
+
+Reference counterparts:
+  externalInit / generatePointCloud  src/serial_includes/main/stereo_vision.cpp:498-623
+  generateDisparityMap               stereo_vision.cpp:296-318 (disparity
+                                     stored as uint8 = 4x true disparity)
+  publishPointCloud                  stereo_vision.cpp:222-280 (Q reprojection
+                                     of the *uint8* disparity)
+  imageLoop timing printf            stereo_vision.cpp:682-686
+
+Deliberate TPU-first deltas: one engine instead of three binaries; the
+device keeps descriptors/disparity resident (no per-frame full round trips
+like elas_gpu.cu:537-563); frames stream through a 2-deep software pipeline
+so Delaunay overlaps matching of the previous frame.
+"""
+
+from __future__ import annotations
+
+import collections
+import time
+from typing import Dict, Iterable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import ElasParams, app_params
+from .models.elas import ElasEngine
+from .io.calibration import Rectification, rectification_from_yaml
+from .ops.reproject import reproject, box_centroids
+
+
+def bgr_to_gray(img: np.ndarray) -> np.ndarray:
+    """BGR(A) -> grayscale uint8 with OpenCV's fixed-point BT.601 rounding
+    (matches cvtColor(BGRA2GRAY), reference stereo_vision.cpp:338-339)."""
+    if img.ndim == 2:
+        return img
+    b = img[..., 0].astype(np.uint32)
+    g = img[..., 1].astype(np.uint32)
+    r = img[..., 2].astype(np.uint32)
+    # OpenCV: yuv shift 14; coefficients R 0.299, G 0.587, B 0.114.
+    y = (4899 * r + 9617 * g + 1868 * b + (1 << 13)) >> 14
+    return y.astype(np.uint8)
+
+
+class StereoEngine:
+    """Stereo frames -> disparity map + 3-D point cloud."""
+
+    def __init__(self,
+                 calibration_yaml: str,
+                 width: int,
+                 height: int,
+                 scale: float = 1.0,
+                 pc_extrapolation: int = 1,
+                 params: Optional[ElasParams] = None,
+                 subsampling: bool = False,
+                 use_pallas: Optional[bool] = None,
+                 rasterize=None,
+                 true_scale_cloud: bool = False):
+        self.p = params or app_params(subsampling=subsampling)
+        self.width = int(width)
+        self.height = int(height)
+        self.pc_w = self.width * pc_extrapolation
+        self.pc_h = self.height * pc_extrapolation
+        self.rect: Rectification = rectification_from_yaml(
+            calibration_yaml, self.width, self.height, scale_factor=scale)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        if rasterize is None:
+            try:
+                from .hostlib.raster import rasterize as _cr
+                rasterize = _cr
+            except Exception:
+                rasterize = None
+        self.elas = ElasEngine(self.p, self.width, self.height,
+                               rasterize=rasterize, use_pallas=use_pallas)
+        # The reference feeds the uint8 display disparity (4x true) into Q
+        # (stereo_vision.cpp:316 + :234-242).  true_scale_cloud=False keeps
+        # that behaviour for parity; True divides by 4 for metric clouds.
+        self.disp_display_scale = 4.0
+        self.true_scale_cloud = true_scale_cloud
+        self._reproject = jax.jit(self._reproject_impl)
+        self.timings: Dict[str, float] = {}
+
+    # -- device tail: display disparity + cloud -----------------------------
+
+    def _reproject_impl(self, D1):
+        dmap = jnp.clip(jnp.round(D1 * self.disp_display_scale),
+                        0, 255).astype(jnp.uint8)
+        pc = dmap
+        if (self.pc_h, self.pc_w) != dmap.shape:
+            pc = jax.image.resize(dmap.astype(jnp.float32),
+                                  (self.pc_h, self.pc_w), "linear")
+        d_for_q = pc.astype(jnp.float32)
+        if self.true_scale_cloud:
+            d_for_q = d_for_q / self.disp_display_scale
+        points = reproject(d_for_q, self.rect.Q)
+        return dmap, points
+
+    # -- blocking single-frame path -----------------------------------------
+
+    def process_frame(self, left: np.ndarray, right: np.ndarray) -> Dict:
+        """left/right: (H, W[, C]) uint8 BGR(A)/gray frames at engine size.
+        Returns dict with dmap (uint8 display disparity), disparity (float),
+        points ((pc_h*pc_w, 3) float32), and stage timings."""
+        t0 = time.perf_counter()
+        g1 = bgr_to_gray(left)
+        g2 = bgr_to_gray(right)
+        td = time.perf_counter()
+        D1, _ = self.elas.process(g1, g2)
+        dmap, points = self._reproject(D1)
+        dmap = np.asarray(dmap)
+        tq = time.perf_counter()
+        points = np.asarray(points).reshape(-1, 3)
+        t1 = time.perf_counter()
+        self.timings = {"t_t": t1 - t0, "dmap_t": tq - td, "pc_t": t1 - tq}
+        return {"dmap": dmap, "disparity": np.asarray(D1),
+                "points": points, "timings": dict(self.timings)}
+
+    # -- pipelined streaming path -------------------------------------------
+
+    def stream(self, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
+               lookahead: int = 2) -> Iterator[Dict]:
+        """Process a stream of (left, right) frames with a software pipeline:
+        stage-A (descriptors+support) of future frames is dispatched ahead so
+        the host geometry stage of frame i overlaps device matching of frame
+        i-1 (the TPU analogue of the reference's CPU/GPU overlap in
+        elas_gpu.cu and the std::async YOLO overlap)."""
+        frames = iter(frames)
+        q = collections.deque()
+
+        def dispatch_a():
+            try:
+                lf, rf = next(frames)
+            except StopIteration:
+                return False
+            t0 = time.perf_counter()
+            g1, g2 = bgr_to_gray(lf), bgr_to_gray(rf)
+            out = self.elas._stage_support(jnp.asarray(g1), jnp.asarray(g2))
+            q.append((t0, out))
+            return True
+
+        for _ in range(lookahead):
+            if not dispatch_a():
+                break
+        while q:
+            t0, (desc1, desc2, d_can) = q.popleft()
+            g = self.elas.host_mid(np.asarray(d_can))
+            D1, _ = self.elas._stage_dense(
+                desc1, desc2, jnp.asarray(g["pts"]),
+                jnp.asarray(g["planes_l"]), jnp.asarray(g["planes_r"]),
+                jnp.asarray(g["tri_l"]), jnp.asarray(g["tri_r"]))
+            dmap_dev, points_dev = self._reproject(D1)
+            dispatch_a()
+            dmap = np.asarray(dmap_dev)
+            points = np.asarray(points_dev).reshape(-1, 3)
+            t1 = time.perf_counter()
+            self.timings = {"t_t": t1 - t0, "dmap_t": t1 - t0, "pc_t": 0.0}
+            yield {"dmap": dmap, "points": points,
+                   "timings": dict(self.timings)}
+
+    # -- object fusion -------------------------------------------------------
+
+    def object_positions(self, points: np.ndarray,
+                         boxes: np.ndarray) -> np.ndarray:
+        """Mean 3-D position per detection box
+        (reference stereo_vision.cpp:261-277)."""
+        pts = jnp.asarray(points.reshape(self.pc_h, self.pc_w, 3))
+        return np.asarray(box_centroids(pts, jnp.asarray(boxes)))
+
+
+class StereoVision:
+    """Drop-in analogue of the reference pip package's Python class
+    `stereo_vision.stereo_vision` (stereo_vision/sv.py:156-192): same
+    constructor surface, same generatePointCloud(left, right) ->
+    (width*height, 3) float64 array behaviour — backed by the TPU engine
+    instead of a ctypes .so."""
+
+    def __init__(self, so_lib_path=None, width=1242, height=375,
+                 defaultCalibFile=True, objectTracking=False, graphics=False,
+                 display=False, scale=1, pc_extrapolation=1,
+                 YOLO_CFG=None, YOLO_WEIGHTS=None, YOLO_CLASSES=None,
+                 CAMERA_CALIBRATION_YAML=None, subsampling=False):
+        import os.path as osp
+        if CAMERA_CALIBRATION_YAML is None:
+            CAMERA_CALIBRATION_YAML = osp.join(
+                osp.dirname(__file__), "data", "kitti_2011_09_26.yml")
+        self.width, self.height = width, height
+        self.engine = StereoEngine(CAMERA_CALIBRATION_YAML, width, height,
+                                   scale=scale,
+                                   pc_extrapolation=pc_extrapolation,
+                                   subsampling=subsampling)
+        self.objectTracking = objectTracking
+        self.tracker = None
+        self.detector = None
+        if objectTracking:
+            from .models.bayesian import BayesianTracker
+            self.tracker = BayesianTracker()
+            from .models.yolo import YoloV4Tiny
+            try:
+                self.detector = YoloV4Tiny.from_files(
+                    YOLO_CFG, YOLO_WEIGHTS, YOLO_CLASSES)
+            except Exception:
+                self.detector = None
+
+    def generatePointCloud(self, left, right):
+        res = self.engine.process_frame(left, right)
+        self.last = res
+        if self.objectTracking and self.detector is not None:
+            dets = self.detector.detect(left)
+            preds = self.tracker.get_predicted_boxes()
+            self.tracker.append(dets)
+            self.last["objects"] = dets + preds
+        t = self.engine.timings
+        print("(FPS=%f) (%d, %d) (t_t=%f, dmap_t=%f, pc_t=%f)"
+              % (1.0 / max(t["t_t"], 1e-9), res["dmap"].shape[0],
+                 res["dmap"].shape[1], t["t_t"], t["dmap_t"], t["pc_t"]))
+        return res["points"].astype(np.float64)
+
+    def __del__(self):
+        pass

@@ -40,7 +40,13 @@ class ElasEngine:
     """Static-shape ELAS pipeline for one image size."""
 
     def __init__(self, params: ElasParams, width: int, height: int,
-                 rasterize=None, use_pallas: bool = False):
+                 rasterize=None, use_pallas: bool = False,
+                 host_filters: bool = True):
+        # host_filters=True (default): support filtering runs on the host
+        # with the reference's exact sequential in-place semantics
+        # (hostlib); False keeps the snapshot filters on device (used by
+        # fully-fused modes where no host stage exists).
+        self.host_filters = host_filters
         self.p = params
         self.width = int(width)
         self.height = int(height)
@@ -62,16 +68,22 @@ class ElasEngine:
         desc2 = compute_descriptor(I2)
         if self.use_pallas:
             from ..ops.pallas import support_pl
-            d_can = support_pl.support_matches(desc1, desc2, self.p)
+            d_can = support_pl.support_matches(
+                desc1, desc2, self.p, apply_filters=not self.host_filters)
         else:
-            d_can = support_matches(desc1, desc2, self.p)
+            d_can = support_matches(desc1, desc2, self.p,
+                                    apply_filters=not self.host_filters)
         return desc1, desc2, d_can
 
     # ---- host middle ------------------------------------------------------
 
     def host_mid(self, d_can: np.ndarray) -> Dict[str, np.ndarray]:
         """Support grid -> padded geometry arrays (fixed shapes)."""
-        g = host_geometry(np.asarray(d_can), self.p, self.width, self.height,
+        d_can = np.asarray(d_can)
+        if self.host_filters:
+            from ..hostlib.raster import filter_support_sequential
+            d_can = filter_support_sequential(d_can, self.p)
+        g = host_geometry(d_can, self.p, self.width, self.height,
                           rasterize=self._rasterize)
         pts = np.full((self.n_max, 3), -1, np.int32)
         n = min(len(g["pts"]), self.n_max)

@@ -105,7 +105,10 @@ def remove_small_segments(D, p: ElasParams):
 
     sizes = jnp.zeros((n,), jnp.int32).at[lab.reshape(-1)].add(1)
     seg_size = sizes[lab]
-    return jnp.where(valid & (seg_size < speckle), _INVALID, D)
+    # Every pixel below the size threshold becomes -10 — including invalid
+    # pixels, which are singleton segments (the reference BFS starts from
+    # every pixel, elas.cpp:1039-1116, so -1 codes also become -10).
+    return jnp.where(seg_size < speckle, _INVALID, D)
 
 
 # ---------------------------------------------------------------------------

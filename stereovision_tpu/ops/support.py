@@ -42,12 +42,18 @@ def _sad_pair(a, b):
 
 
 def support_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
-                    p: ElasParams) -> jnp.ndarray:
+                    p: ElasParams, apply_filters: bool = True) -> jnp.ndarray:
     """Dense support-point disparity grid.
 
     desc1, desc2: (16, H, W) uint8 descriptors.
     Returns D_can: (Hc, Wc) int16, -1 where invalid
     (Hc = ceil(H/step), Wc = ceil(W/step)).
+
+    apply_filters=True runs the snapshot (data-parallel) support filters on
+    device; with False the raw grid is returned and the host applies the
+    reference-exact sequential filters (hostlib.filter_support_sequential) —
+    the default engine path, since the reference's in-place scan-order
+    cascade is inherently sequential.
     """
     _, H, W = desc1.shape
     step = p.step
@@ -165,9 +171,10 @@ def support_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
     edge[:, 0] = False
     d_can = jnp.where(edge, d_can, -1)
 
-    d_can = remove_inconsistent(d_can, p)
-    d_can = remove_redundant(d_can, p, vertical=True)
-    d_can = remove_redundant(d_can, p, vertical=False)
+    if apply_filters:
+        d_can = remove_inconsistent(d_can, p)
+        d_can = remove_redundant(d_can, p, vertical=True)
+        d_can = remove_redundant(d_can, p, vertical=False)
     return d_can
 
 
