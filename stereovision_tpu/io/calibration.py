@@ -41,14 +41,19 @@ def _parse_opencv_yaml(text: str) -> Dict[str, np.ndarray]:
         vals = np.array([float(x) for x in data.replace("\n", " ").split(",")
                          if x.strip()], dtype=np.float64)
         out[name] = vals.reshape(rows, cols)
-    # Flat sequences:  name: [ a, b, c ]
+    # Flat sequences:  name: [ a, b, c ] — reshaped by size (9 -> 3x3,
+    # 5 -> 1x5 distortion row, 3 -> vector).
     seq_re = re.compile(r"^(\w+):\s*\[([^\]]*)\]", re.MULTILINE)
     for m in seq_re.finditer(text):
         name = m.group(1)
         if name in out:
             continue
-        vals = np.array([float(x) for x in m.group(2).split(",") if x.strip()],
-                        dtype=np.float64)
+        vals = np.array([float(x) for x in m.group(2).replace("\n", " ").split(",")
+                         if x.strip()], dtype=np.float64)
+        if vals.size == 9:
+            vals = vals.reshape(3, 3)
+        elif vals.size == 5:
+            vals = vals.reshape(1, 5)
         out[name] = vals
     return out
 

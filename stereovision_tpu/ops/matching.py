@@ -63,7 +63,7 @@ def compute_disparity(desc_self: jnp.ndarray, desc_other: jnp.ndarray,
         Bpad = jnp.pad(B, ((0, 0), (0, 0), (D, 0)))  # B[..., u - d]
 
     # Per-pixel plane prior quantities (computed once, on the output lattice).
-    tid = tri_id[v_full][:, u_full]                  # (Ho, Wo)
+    tid = jax.lax.slice(tri_id, (0, 0), (H, W), (sub, sub))[:Ho, :Wo]
     has_tri = tid >= 0
     pl = planes[jnp.clip(tid, 0)]                    # (Ho, Wo, 4)
     a, b, c, a_other = (pl[..., 0], pl[..., 1], pl[..., 2], pl[..., 3])
@@ -74,10 +74,17 @@ def compute_disparity(desc_self: jnp.ndarray, desc_other: jnp.ndarray,
     d_win_hi = jnp.minimum(d_plane + R, D - 1)
     plane_valid = (jnp.abs(a) < 0.7) & (jnp.abs(a_other) < 0.7)
 
-    # Grid-cell lookup tables (full-res coordinates, elas.cpp:744-745).
-    cr, cc = cell_index_maps(p, W, H)
-    cell_r = cr[v_full]                              # (Ho,)
-    cell_c = cc[u_full]                              # (Wo,)
+    # Expand the cell-level grid mask to per-pixel resolution ONCE
+    # (uniform-repeat = broadcast+reshape, no gather), so the d-loop body
+    # only needs a dynamic slice.  (D, gh, gw) -> (D, Ho, Wo) on the output
+    # lattice.  TPU gathers are scalar-looped; keeping them out of the
+    # 256-iteration loop is worth the (D*H*W)-bool HBM footprint (~120 MB
+    # at KITTI size).
+    gs = p.grid_size
+    gm = jnp.repeat(grid_mask, gs, axis=1)[:, :H]
+    gm = jnp.repeat(gm, gs, axis=2)[:, :, :W]
+    gm_px = jax.lax.slice(gm, (0, 0, 0), (D, H, W), (1, sub, sub))
+    gm_px = gm_px[:, :Ho, :Wo]
 
     u_out = u_full.astype(np.int32)[None, :]
     # LUT must be a jax array to be gathered with a traced index; created
@@ -90,10 +97,13 @@ def compute_disparity(desc_self: jnp.ndarray, desc_other: jnp.ndarray,
         else:
             Bd = jax.lax.dynamic_slice_in_dim(Bpad, D - d, W, axis=2)
         E = jnp.sum(jnp.abs(Ai - Bd.astype(jnp.int32)), axis=0)   # (Ho, W)
-        Eo = E[:, u_full]                                          # (Ho, Wo)
+        if sub == 1:
+            Eo = E
+        else:
+            Eo = jax.lax.slice(E, (0, 0), (Ho, W), (1, sub))       # (Ho, Wo)
 
         in_win = (d >= d_win_lo) & (d <= d_win_hi)
-        gslice = grid_mask[d][cell_r][:, cell_c]                   # (Ho, Wo)
+        gslice = jax.lax.dynamic_slice_in_dim(gm_px, d, 1, axis=0)[0]
         if right_image:
             u_warp = u_out + d
         else:

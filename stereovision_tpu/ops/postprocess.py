@@ -57,15 +57,40 @@ def _neighbor_shift(x, dy, dx, fill):
     return xp[max(dy, 0):max(dy, 0) + h, max(dx, 0):max(dx, 0) + w]
 
 
+def _segmented_min_scan(lab, connect_prev, axis, reverse):
+    """Inclusive segmented min-scan of labels along `axis`.
+
+    connect_prev[i] == True means element i is connected to element i-1
+    (in scan direction), so the running minimum may flow across.  Pure
+    associative-scan formulation — no gathers, maps to log-depth VPU work
+    (TPU gathers are scalar-looped and were the bottleneck of the
+    pointer-jumping variant)."""
+    if reverse:
+        lab_s = jnp.flip(lab, axis)
+        conn = jnp.flip(connect_prev, axis)
+    else:
+        lab_s, conn = lab, connect_prev
+    start = ~conn  # segment starts where not connected to predecessor
+
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
+
+    out, _ = jax.lax.associative_scan(op, (lab_s, start), axis=axis)
+    return jnp.flip(out, axis) if reverse else out
+
+
 def remove_small_segments(D, p: ElasParams):
     """Remove connected segments (4-connectivity, |Δd| <= sim threshold)
     smaller than speckle_size pixels (reference elas.cpp:1013-1124).
 
-    Connected-component labelling via min-label propagation with pointer
-    jumping (the parallel reformulation of the sequential BFS): each
-    iteration takes the minimum label over connected neighbours and then
-    compresses twice via label = label[label].  Runs inside jit with a
-    convergence-tested while_loop.
+    Connected-component labelling via iterated segmented min-scans: each
+    round propagates the minimum label along maximal horizontal and
+    vertical runs of connected pixels (forward + backward associative
+    scans), inside a convergence-tested while_loop.  At the fixpoint every
+    component carries its minimum linear index — same result as the
+    reference's BFS, with only scans and elementwise ops on device.
     """
     H, W = D.shape
     speckle = p.speckle_size
@@ -73,30 +98,30 @@ def remove_small_segments(D, p: ElasParams):
         speckle = int(math.sqrt(float(p.speckle_size)) * 2)
 
     valid = D >= 0
-    # Edges: neighbour valid AND |D - Dn| <= sim (both endpoints valid;
-    # invalid pixels form singletons, exactly as in the reference where the
-    # BFS from an invalid pixel can never add a neighbour).
-    edges = {}
-    for (dy, dx) in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+    # Connectivity (both endpoints valid, |Δd| <= sim; invalid pixels form
+    # singletons, exactly as in the reference where the BFS from an invalid
+    # pixel can never add a neighbour).
+    def conn(dy, dx):
         nb = _neighbor_shift(D, dy, dx, -1e9)
         nb_valid = _neighbor_shift(valid, dy, dx, False)
-        edges[(dy, dx)] = (valid & nb_valid
-                           & (jnp.abs(D - nb) <= p.speckle_sim_threshold))
+        return (valid & nb_valid
+                & (jnp.abs(D - nb) <= p.speckle_sim_threshold))
+
+    conn_left = conn(0, -1)    # connected to (v, u-1)
+    conn_right = conn(0, 1)
+    conn_up = conn(-1, 0)
+    conn_down = conn(1, 0)
 
     n = H * W
     init = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
 
     def step(state):
         lab, _ = state
-        m = lab
-        for (dy, dx), e in edges.items():
-            nb = _neighbor_shift(lab, dy, dx, n)
-            m = jnp.minimum(m, jnp.where(e, nb, n))
-        flat = m.reshape(-1)
-        flat = flat[flat]          # pointer jump
-        flat = flat[flat]
-        new = flat.reshape(H, W)
-        return new, jnp.any(new != lab)
+        m = _segmented_min_scan(lab, conn_left, axis=1, reverse=False)
+        m = _segmented_min_scan(m, conn_right, axis=1, reverse=True)
+        m = _segmented_min_scan(m, conn_up, axis=0, reverse=False)
+        m = _segmented_min_scan(m, conn_down, axis=0, reverse=True)
+        return m, jnp.any(m != lab)
 
     def cond(state):
         return state[1]
