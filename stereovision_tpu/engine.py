@@ -82,6 +82,9 @@ class StereoEngine:
         self.disp_display_scale = 4.0
         self.true_scale_cloud = true_scale_cloud
         self._reproject = jax.jit(self._reproject_impl)
+        # Fused dense stage + reprojection: one device dispatch for the
+        # whole back half of the frame.
+        self._dense_tail = jax.jit(self._dense_tail_impl)
         self.timings: Dict[str, float] = {}
 
     # -- device tail: display disparity + cloud -----------------------------
@@ -99,30 +102,54 @@ class StereoEngine:
         points = reproject(d_for_q, self.rect.Q)
         return dmap, points
 
+    def _dense_tail_impl(self, desc1, desc2, pts, planes_l, planes_r,
+                         tri_l, tri_r):
+        D1, D2 = self.elas._stage_dense_impl(desc1, desc2, pts, planes_l,
+                                             planes_r, tri_l, tri_r)
+        dmap, points = self._reproject_impl(D1)
+        return D1, dmap, points
+
+    def _run_dense(self, desc1, desc2, g):
+        return self._dense_tail(
+            desc1, desc2, jnp.asarray(g["pts"]), jnp.asarray(g["planes_l"]),
+            jnp.asarray(g["planes_r"]), jnp.asarray(g["tri_l"]),
+            jnp.asarray(g["tri_r"]))
+
     # -- blocking single-frame path -----------------------------------------
 
-    def process_frame(self, left: np.ndarray, right: np.ndarray) -> Dict:
+    def process_frame(self, left: np.ndarray, right: np.ndarray,
+                      fetch: str = "host") -> Dict:
         """left/right: (H, W[, C]) uint8 BGR(A)/gray frames at engine size.
         Returns dict with dmap (uint8 display disparity), disparity (float),
-        points ((pc_h*pc_w, 3) float32), and stage timings."""
+        points ((pc_h*pc_w, 3)), and stage timings.
+
+        fetch: "host" copies dmap+points to NumPy (reference-equivalent
+        behaviour — its CUDA build copies the cloud back every frame,
+        stereo_vision.cu:251-264); "dmap" copies only the display disparity
+        and leaves the cloud on device (zero-copy consumers / chained
+        device work); "device" leaves everything on device."""
         t0 = time.perf_counter()
         g1 = bgr_to_gray(left)
         g2 = bgr_to_gray(right)
         td = time.perf_counter()
-        D1, _ = self.elas.process(g1, g2)
-        dmap, points = self._reproject(D1)
-        dmap = np.asarray(dmap)
+        desc1, desc2, d_can = self.elas._stage_support(jnp.asarray(g1),
+                                                       jnp.asarray(g2))
+        g = self.elas.host_mid(np.asarray(d_can))
+        D1, dmap, points = self._run_dense(desc1, desc2, g)
+        if fetch in ("host", "dmap"):
+            dmap = np.asarray(dmap)
         tq = time.perf_counter()
-        points = np.asarray(points).reshape(-1, 3)
+        if fetch == "host":
+            points = np.asarray(points).reshape(-1, 3)
         t1 = time.perf_counter()
         self.timings = {"t_t": t1 - t0, "dmap_t": tq - td, "pc_t": t1 - tq}
-        return {"dmap": dmap, "disparity": np.asarray(D1),
+        return {"dmap": dmap, "disparity": D1,
                 "points": points, "timings": dict(self.timings)}
 
     # -- pipelined streaming path -------------------------------------------
 
     def stream(self, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
-               lookahead: int = 2) -> Iterator[Dict]:
+               lookahead: int = 2, fetch: str = "host") -> Iterator[Dict]:
         """Process a stream of (left, right) frames with a software pipeline:
         stage-A (descriptors+support) of future frames is dispatched ahead so
         the host geometry stage of frame i overlaps device matching of frame
@@ -148,18 +175,95 @@ class StereoEngine:
         while q:
             t0, (desc1, desc2, d_can) = q.popleft()
             g = self.elas.host_mid(np.asarray(d_can))
-            D1, _ = self.elas._stage_dense(
-                desc1, desc2, jnp.asarray(g["pts"]),
-                jnp.asarray(g["planes_l"]), jnp.asarray(g["planes_r"]),
-                jnp.asarray(g["tri_l"]), jnp.asarray(g["tri_r"]))
-            dmap_dev, points_dev = self._reproject(D1)
+            D1, dmap_dev, points_dev = self._run_dense(desc1, desc2, g)
             dispatch_a()
             dmap = np.asarray(dmap_dev)
-            points = np.asarray(points_dev).reshape(-1, 3)
+            points = points_dev
+            if fetch == "host":
+                points = np.asarray(points_dev).reshape(-1, 3)
             t1 = time.perf_counter()
             self.timings = {"t_t": t1 - t0, "dmap_t": t1 - t0, "pc_t": 0.0}
             yield {"dmap": dmap, "points": points,
                    "timings": dict(self.timings)}
+
+    # -- batched throughput path --------------------------------------------
+
+    @property
+    def _batched_fns(self):
+        if not hasattr(self, "_batched_cache"):
+            e = self.elas
+            self._batched_cache = (
+                jax.jit(jax.vmap(e._stage_support_impl)),
+                jax.jit(jax.vmap(self._dense_tail_impl)),
+            )
+        return self._batched_cache
+
+    def stream_batched(self, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
+                       batch: int = 4, fetch: str = "dmap") -> Iterator[Dict]:
+        """Throughput mode: process frames in batches of `batch` per device
+        dispatch (vmapped pipeline).  Amortizes dispatch latency and fills
+        the VPU — the TPU-native scaling axis the reference has no analogue
+        for (its three builds are all single-frame).  Host geometry for the
+        frames of a batch runs in a thread pool, overlapped with the device
+        stage of the previous batch.  Yields per-frame results in order."""
+        import concurrent.futures as cf
+        f_a, f_tail = self._batched_fns
+        ex = cf.ThreadPoolExecutor(max_workers=min(batch, 8))
+        it = iter(frames)
+        pending = collections.deque()
+
+        def next_batch():
+            fs = []
+            for _ in range(batch):
+                try:
+                    fs.append(next(it))
+                except StopIteration:
+                    break
+            if not fs:
+                return None
+            while len(fs) < batch:      # pad short tail batch
+                fs.append(fs[-1])
+            g1 = np.stack([bgr_to_gray(l) for l, _ in fs])
+            g2 = np.stack([bgr_to_gray(r) for _, r in fs])
+            t0 = time.perf_counter()
+            out = f_a(jnp.asarray(g1), jnp.asarray(g2))
+            return (t0, len(fs), out)
+
+        def run_tail(entry):
+            t0, n, (desc1, desc2, d_can) = entry
+            dcs = np.asarray(d_can)
+            gs = list(ex.map(self.elas.host_mid, [dcs[i] for i in
+                             range(dcs.shape[0])]))
+            stacked = {k: jnp.asarray(np.stack([g[k] for g in gs]))
+                       for k in gs[0]}
+            D1, dmap, points = f_tail(desc1, desc2, stacked["pts"],
+                                      stacked["planes_l"],
+                                      stacked["planes_r"],
+                                      stacked["tri_l"], stacked["tri_r"])
+            return t0, n, D1, dmap, points
+
+        nb = next_batch()
+        if nb is not None:
+            pending.append(nb)
+        nb2 = next_batch()
+        if nb2 is not None:
+            pending.append(nb2)
+        while pending:
+            entry = pending.popleft()
+            t0, n, D1, dmap, points = run_tail(entry)
+            nxt = next_batch()
+            if nxt is not None:
+                pending.append(nxt)
+            dmaps = np.asarray(dmap) if fetch in ("host", "dmap") else dmap
+            pts_np = (np.asarray(points) if fetch == "host" else points)
+            t1 = time.perf_counter()
+            per = (t1 - t0) / n
+            for i in range(n):
+                self.timings = {"t_t": per, "dmap_t": per, "pc_t": 0.0}
+                yield {"dmap": dmaps[i],
+                       "points": (pts_np[i].reshape(-1, 3)
+                                  if fetch == "host" else points[i]),
+                       "timings": dict(self.timings)}
 
     # -- object fusion -------------------------------------------------------
 

@@ -53,8 +53,18 @@ class ElasEngine:
         step = params.step
         self.Hc = -(-self.height // step)
         self.Wc = -(-self.width // step)
-        self.n_max = self.Hc * self.Wc + 6
-        self.t_max = 2 * self.n_max + 8
+        # Static padding caps for the host-geometry arrays.  The grid has
+        # Hc*Wc cells but the support filters keep only a few thousand
+        # points in practice; the caps bound H2D transfer size and are
+        # guarded (with truncation + warning) in host_mid.
+        self.n_max = min(self.Hc * self.Wc + 6, 16000)
+        self.t_max = min(2 * self.n_max + 8, 32000)
+        if rasterize is None:
+            try:
+                from ..hostlib.raster import rasterize as _native_raster
+                rasterize = _native_raster
+            except Exception:
+                rasterize = None
         self._rasterize = rasterize
         self.use_pallas = use_pallas
 
@@ -87,6 +97,9 @@ class ElasEngine:
                           rasterize=self._rasterize)
         pts = np.full((self.n_max, 3), -1, np.int32)
         n = min(len(g["pts"]), self.n_max)
+        if len(g["pts"]) > self.n_max:
+            import warnings
+            warnings.warn("support points truncated to n_max=%d" % self.n_max)
         pts[:n] = g["pts"][:n]
         out = {"pts": pts}
         for tag in ("l", "r"):
@@ -94,7 +107,9 @@ class ElasEngine:
             t = min(len(g["planes_" + tag]), self.t_max)
             pl[:t] = g["planes_" + tag][:t]
             out["planes_" + tag] = pl
-            out["tri_" + tag] = g["tri_id_" + tag].astype(np.int32)
+            tri = g["tri_id_" + tag]
+            tri = np.where(tri >= self.t_max, -1, tri)
+            out["tri_" + tag] = tri.astype(np.int16)
         return out
 
     # ---- device stage B ---------------------------------------------------
@@ -163,8 +178,8 @@ class ElasEngine:
             jax.ShapeDtypeStruct((self.n_max, 3), np.int32),
             jax.ShapeDtypeStruct((self.t_max, 4), np.float32),
             jax.ShapeDtypeStruct((self.t_max, 4), np.float32),
-            jax.ShapeDtypeStruct((H, W), np.int32),
-            jax.ShapeDtypeStruct((H, W), np.int32),
+            jax.ShapeDtypeStruct((H, W), np.int16),
+            jax.ShapeDtypeStruct((H, W), np.int16),
         )
 
         def run(I1, I2):

@@ -158,7 +158,7 @@ def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
         pass
 
     # per-pixel plane quantities (on the full-width lattice, then sliced)
-    tid = jax.lax.slice(tri_id, (0, 0), (H, W), (sub, 1))[:Ho]
+    tid = jax.lax.slice(tri_id, (0, 0), (H, W), (sub, 1))[:Ho].astype(jnp.int32)
     plq = planes[jnp.clip(tid, 0)]
     a, b, c, a_other = plq[..., 0], plq[..., 1], plq[..., 2], plq[..., 3]
     uf = np.arange(W, dtype=np.float32)[None, :]
