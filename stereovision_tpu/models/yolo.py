@@ -1,0 +1,374 @@
+"""Darknet-family object detector (YOLOv4-tiny) in JAX.
+
+TPU-native replacement for the reference's OpenCV-DNN darknet wrapper
+(src/common_includes/yolo/{yolo.hpp,detector.cpp}): a generic darknet cfg
+parser + .weights loader + jitted NHWC forward pass (convs on the MXU,
+batch-norm folded into the conv weights at load time), with the reference's
+exact pre/post-processing: 608x608 bilinear resize, BGR->RGB, /255
+(blobFromImage call, detector.cpp:31), per-class score threshold 0.5 and
+per-class greedy NMS at IoU 0.4 (detector.cpp:42-65).
+
+Works with any conv/maxpool/route/upsample/yolo cfg (v3-tiny, v4-tiny, ...);
+a built-in yolov4-tiny architecture definition is used when no cfg file is
+given (the reference repo ships the cfg but its .weights blob is absent —
+see .MISSING_LARGE_BLOBS — so random-init smoke mode is supported too).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bayesian import Detection
+
+CONFIDENCE_THRESHOLD = 0.5
+NMS_THRESHOLD = 0.4
+
+_BOX_COLORS = [(0, 255, 255), (255, 255, 0), (0, 255, 0), (255, 0, 0)]
+
+COCO_CLASSES = (
+    "person bicycle car motorbike aeroplane bus train truck boat "
+    "traffic_light fire_hydrant stop_sign parking_meter bench bird cat dog "
+    "horse sheep cow elephant bear zebra giraffe backpack umbrella handbag "
+    "tie suitcase frisbee skis snowboard sports_ball kite baseball_bat "
+    "baseball_glove skateboard surfboard tennis_racket bottle wine_glass "
+    "cup fork knife spoon bowl banana apple sandwich orange broccoli "
+    "carrot hot_dog pizza donut cake chair sofa pottedplant bed "
+    "diningtable toilet tvmonitor laptop mouse remote keyboard cell_phone "
+    "microwave oven toaster sink refrigerator book clock vase scissors "
+    "teddy_bear hair_drier toothbrush").split()
+
+
+# ---------------------------------------------------------------------------
+# cfg parsing
+
+def parse_darknet_cfg(path: str) -> List[Dict]:
+    sections: List[Dict] = []
+    cur: Optional[Dict] = None
+    with open(path) as f:
+        for raw in f:
+            line = raw.split("#")[0].strip()
+            if not line:
+                continue
+            if line.startswith("["):
+                cur = {"type": line.strip("[]")}
+                sections.append(cur)
+            elif "=" in line and cur is not None:
+                k, v = line.split("=", 1)
+                cur[k.strip()] = v.strip()
+    return sections
+
+
+def builtin_yolov4_tiny_cfg() -> List[Dict]:
+    """The yolov4-tiny architecture as cfg sections (standard public
+    topology; used when no cfg file is supplied)."""
+    def conv(f, s=1, k=3, act="leaky", bn=1):
+        return {"type": "convolutional", "filters": str(f), "size": str(k),
+                "stride": str(s), "pad": "1", "activation": act,
+                **({"batch_normalize": "1"} if bn else {})}
+
+    def route(layers, groups=None, gid=None):
+        d = {"type": "route", "layers": ",".join(str(x) for x in layers)}
+        if groups is not None:
+            d["groups"] = str(groups)
+            d["group_id"] = str(gid)
+        return d
+
+    anchors = "10,14, 23,27, 37,58, 81,82, 135,169, 344,319"
+
+    def yolo(mask):
+        return {"type": "yolo", "mask": mask, "anchors": anchors,
+                "classes": "80", "num": "6", "scale_x_y": "1.05"}
+
+    mp = {"type": "maxpool", "size": "2", "stride": "2"}
+    net = [{"type": "net", "width": "608", "height": "608", "channels": "3"}]
+
+    def csp_block(f):
+        return [conv(f), route([-1], 2, 1), conv(f // 2), conv(f // 2),
+                route([-1, -2]), conv(f, k=1), route([-6, -1]), mp]
+
+    return (net
+            + [conv(32, 2), conv(64, 2)]
+            + csp_block(64)[:-1] + [mp]
+            + csp_block(128)[:-1] + [mp]
+            + csp_block(256)[:-1] + [mp]
+            + [conv(512), conv(256, k=1), conv(512),
+               conv(255, k=1, act="linear", bn=0), yolo("3,4,5"),
+               route([-4]), conv(128, k=1),
+               {"type": "upsample", "stride": "2"},
+               route([-1, 23]), conv(256),
+               conv(255, k=1, act="linear", bn=0), yolo("1,2,3")])
+
+
+# ---------------------------------------------------------------------------
+# model
+
+@dataclasses.dataclass
+class _Conv:
+    w: np.ndarray        # HWIO
+    b: np.ndarray
+    stride: int
+    activation: str
+
+
+class YoloV4Tiny:
+    """Darknet detector: parse cfg, hold folded conv params, jit forward."""
+
+    def __init__(self, sections: List[Dict],
+                 class_names: Sequence[str] = COCO_CLASSES,
+                 seed: int = 0):
+        self.net_cfg = sections[0]
+        self.layers = sections[1:]
+        self.size = int(self.net_cfg.get("width", 608))
+        self.class_names = list(class_names)
+        self.params: Dict[int, _Conv] = {}
+        self._init_random(seed)
+        self._fwd = jax.jit(self._forward)
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_files(cls, cfg_path: Optional[str] = None,
+                   weights_path: Optional[str] = None,
+                   classes_path: Optional[str] = None) -> "YoloV4Tiny":
+        sections = (parse_darknet_cfg(cfg_path) if cfg_path
+                    else builtin_yolov4_tiny_cfg())
+        names = COCO_CLASSES
+        if classes_path:
+            with open(classes_path) as f:
+                names = [l.strip() for l in f if l.strip()]
+        model = cls(sections, names)
+        if weights_path:
+            model.load_darknet_weights(weights_path)
+        return model
+
+    def _layer_channels(self) -> List[int]:
+        chans = []
+        c = int(self.net_cfg.get("channels", 3))
+        for i, l in enumerate(self.layers):
+            t = l["type"]
+            if t == "convolutional":
+                c = int(l["filters"])
+            elif t == "route":
+                refs = [int(x) for x in l["layers"].split(",")]
+                refs = [r if r >= 0 else i + r for r in refs]
+                c = sum(chans[r] for r in refs)
+                if "groups" in l:
+                    c //= int(l["groups"])
+            # maxpool/upsample/yolo keep channels
+            chans.append(c)
+        return chans
+
+    def _in_channels(self, i: int) -> int:
+        chans = self._layer_channels()
+        return (int(self.net_cfg.get("channels", 3)) if i == 0
+                else chans[i - 1])
+
+    def _init_random(self, seed: int):
+        rng = np.random.default_rng(seed)
+        chans = self._layer_channels()
+        c_in = int(self.net_cfg.get("channels", 3))
+        for i, l in enumerate(self.layers):
+            if l["type"] == "convolutional":
+                k = int(l["size"])
+                f = int(l["filters"])
+                scale = 1.0 / np.sqrt(k * k * c_in)
+                w = rng.normal(0, scale, (k, k, c_in, f)).astype(np.float32)
+                self.params[i] = _Conv(w, np.zeros(f, np.float32),
+                                       int(l["stride"]), l["activation"])
+            if l["type"] == "route":
+                refs = [int(x) for x in l["layers"].split(",")]
+                refs = [r if r >= 0 else i + r for r in refs]
+                c_in = sum(chans[r] for r in refs)
+                if "groups" in l:
+                    c_in //= int(l["groups"])
+            else:
+                c_in = chans[i]
+
+    def load_darknet_weights(self, path: str):
+        """Darknet .weights binary: 3x int32 version + int64 seen counter,
+        then per conv layer [bn_b, bn_g, bn_mean, bn_var] or [bias], then
+        OIHW conv weights.  Batch norm is folded into (w, b) here."""
+        with open(path, "rb") as f:
+            major, minor, _rev = np.fromfile(f, np.int32, 3)
+            if major * 10 + minor >= 2:
+                np.fromfile(f, np.int64, 1)
+            else:
+                np.fromfile(f, np.int32, 1)
+            buf = np.fromfile(f, np.float32)
+        pos = 0
+
+        def take(n):
+            nonlocal pos
+            out = buf[pos:pos + n]
+            pos += n
+            return out
+
+        for i, l in enumerate(self.layers):
+            if l["type"] != "convolutional":
+                continue
+            conv = self.params[i]
+            k, _, c_in, f = conv.w.shape
+            if l.get("batch_normalize") == "1":
+                bn_b = take(f)
+                bn_g = take(f)
+                bn_m = take(f)
+                bn_v = take(f)
+                w = take(f * c_in * k * k).reshape(f, c_in, k, k)
+                scale = bn_g / np.sqrt(bn_v + 1e-5)
+                w = w * scale[:, None, None, None]
+                b = bn_b - bn_m * scale
+            else:
+                b = take(f)
+                w = take(f * c_in * k * k).reshape(f, c_in, k, k)
+            conv.w = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
+            conv.b = b.astype(np.float32)
+        if pos != len(buf):
+            raise ValueError(
+                f"weights file mismatch: consumed {pos} of {len(buf)}")
+
+    # -- forward -------------------------------------------------------------
+
+    def _forward(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        """x: (1, S, S, 3) float32 in [0,1].  Returns decoded detections
+        per yolo head: (1, N, 5 + classes) with normalized cxcywh."""
+        outputs: List[jnp.ndarray] = []
+        acts: List[jnp.ndarray] = []
+        for i, l in enumerate(self.layers):
+            t = l["type"]
+            if t == "convolutional":
+                c = self.params[i]
+                pad = (int(l["size"]) // 2) if l.get("pad") == "1" else 0
+                x = jax.lax.conv_general_dilated(
+                    x, jnp.asarray(c.w), (c.stride, c.stride),
+                    [(pad, pad), (pad, pad)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32)
+                x = x + jnp.asarray(c.b)
+                if c.activation == "leaky":
+                    x = jnp.where(x > 0, x, 0.1 * x)
+                elif c.activation in ("mish", "swish", "silu"):
+                    x = x * jnp.tanh(jax.nn.softplus(x))
+            elif t == "maxpool":
+                k = int(l["size"])
+                s = int(l["stride"])
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, s, s, 1),
+                    "SAME")
+            elif t == "upsample":
+                s = int(l["stride"])
+                n, h, w, ch = x.shape
+                x = jnp.repeat(jnp.repeat(x, s, axis=1), s, axis=2)
+            elif t == "route":
+                refs = [int(r) for r in l["layers"].split(",")]
+                refs = [r if r >= 0 else i + r for r in refs]
+                parts = [acts[r] for r in refs]
+                x = jnp.concatenate(parts, axis=-1) if len(parts) > 1 \
+                    else parts[0]
+                if "groups" in l:
+                    g = int(l["groups"])
+                    gid = int(l["group_id"])
+                    cs = x.shape[-1] // g
+                    x = x[..., gid * cs:(gid + 1) * cs]
+            elif t == "yolo":
+                outputs.append(self._decode_yolo(x, l))
+            acts.append(x)
+        return outputs
+
+    def _decode_yolo(self, x: jnp.ndarray, l: Dict) -> jnp.ndarray:
+        n, gh, gw, _ = x.shape
+        anchors = [float(a) for a in l["anchors"].replace(" ", "").split(",")]
+        anchors = np.array(anchors).reshape(-1, 2)
+        mask = [int(m) for m in l["mask"].split(",")]
+        na = len(mask)
+        nc = int(l.get("classes", 80))
+        sxy = float(l.get("scale_x_y", 1.0))
+        x = x.reshape(n, gh, gw, na, 5 + nc)
+        cx = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 1)
+        cy = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 0)
+        txy = jax.nn.sigmoid(x[..., 0:2]) * sxy - 0.5 * (sxy - 1.0)
+        bx = (txy[..., 0] + cx[None, :, :, None]) / gw
+        by = (txy[..., 1] + cy[None, :, :, None]) / gh
+        aw = np.array([anchors[m][0] for m in mask], np.float32)
+        ah = np.array([anchors[m][1] for m in mask], np.float32)
+        bw = jnp.exp(x[..., 2]) * aw / self.size
+        bh = jnp.exp(x[..., 3]) * ah / self.size
+        obj = jax.nn.sigmoid(x[..., 4])
+        cls = jax.nn.sigmoid(x[..., 5:]) * obj[..., None]
+        flat = jnp.concatenate(
+            [jnp.stack([bx, by, bw, bh, obj], axis=-1), cls], axis=-1)
+        return flat.reshape(n, -1, 5 + nc)
+
+    # -- public API ----------------------------------------------------------
+
+    def detect(self, frame_bgr: np.ndarray,
+               conf_threshold: float = CONFIDENCE_THRESHOLD,
+               nms_threshold: float = NMS_THRESHOLD) -> List[Detection]:
+        """frame_bgr: (H, W, 3) uint8.  Returns Detection list in frame
+        pixel coordinates (reference processYOLO semantics)."""
+        fh, fw = frame_bgr.shape[:2]
+        rgb = np.ascontiguousarray(frame_bgr[..., ::-1])
+        img = _resize_bilinear(rgb, self.size, self.size)
+        x = jnp.asarray(img[None].astype(np.float32) / 255.0)
+        outs = [np.asarray(o)[0] for o in self._fwd(x)]
+        rows = np.concatenate(outs, axis=0)
+
+        dets: List[Detection] = []
+        nc = rows.shape[1] - 5
+        for c in range(nc):
+            scores = rows[:, 5 + c]
+            keep = scores >= conf_threshold
+            if not keep.any():
+                continue
+            r = rows[keep]
+            s = scores[keep]
+            boxes = np.stack([
+                r[:, 0] * fw - r[:, 2] * fw / 2,
+                r[:, 1] * fh - r[:, 3] * fh / 2,
+                r[:, 2] * fw, r[:, 3] * fh], axis=1)
+            for idx in _nms(boxes, s, nms_threshold):
+                color = _BOX_COLORS[c % len(_BOX_COLORS)]
+                name = (self.class_names[c] if c < len(self.class_names)
+                        else str(c))
+                dets.append(Detection(
+                    name=name, x=int(boxes[idx, 0]), y=int(boxes[idx, 1]),
+                    w=int(boxes[idx, 2]), h=int(boxes[idx, 3]),
+                    conf=float(s[idx]),
+                    g=color[0] / 255.0, b=color[1] / 255.0,
+                    r=color[2] / 255.0))
+        return dets
+
+
+def _resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    try:
+        import cv2
+        return cv2.resize(img, (w, h))
+    except ImportError:
+        out = jax.image.resize(jnp.asarray(img, jnp.float32),
+                               (h, w, img.shape[2]), "linear")
+        return np.asarray(out)
+
+
+def _nms(boxes: np.ndarray, scores: np.ndarray, thr: float) -> List[int]:
+    """Greedy IoU NMS (cv::dnn::NMSBoxes equivalent).  boxes: (N, 4) xywh."""
+    x1, y1 = boxes[:, 0], boxes[:, 1]
+    x2, y2 = boxes[:, 0] + boxes[:, 2], boxes[:, 1] + boxes[:, 3]
+    areas = np.maximum(boxes[:, 2], 0) * np.maximum(boxes[:, 3], 0)
+    order = np.argsort(-scores)
+    keep = []
+    while len(order):
+        i = order[0]
+        keep.append(int(i))
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        inter = (np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0))
+        union = areas[i] + areas[order[1:]] - inter
+        iou = np.where(union > 0, inter / union, 0)
+        order = order[1:][iou <= thr]
+    return keep
