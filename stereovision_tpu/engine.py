@@ -221,13 +221,14 @@ class StereoEngine:
                     break
             if not fs:
                 return None
+            n_real = len(fs)
             while len(fs) < batch:      # pad short tail batch
                 fs.append(fs[-1])
             g1 = np.stack([bgr_to_gray(l) for l, _ in fs])
             g2 = np.stack([bgr_to_gray(r) for _, r in fs])
             t0 = time.perf_counter()
             out = f_a(jnp.asarray(g1), jnp.asarray(g2))
-            return (t0, len(fs), out)
+            return (t0, n_real, out)
 
         def run_tail(entry):
             t0, n, (desc1, desc2, d_can) = entry
