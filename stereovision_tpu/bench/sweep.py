@@ -1,0 +1,98 @@
+"""Benchmark sweep harness — the equivalent of the reference's test.sh
+(scale factor 0.5..3.0 x subsampling {0,1} x variants, parsed by test.py
+into AVG_FPS curves; committed as results_log.txt).
+
+Here the "variants" axis is the execution config (xla | pallas | batched)
+instead of three compiled binaries.  Output: CSV rows
+  scale,subsampling,config,width,height,avg_fps
+"""
+
+from __future__ import annotations
+
+import csv
+import sys
+import time
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+
+
+def run_sweep(kitti_path: str, calib: str,
+              scales: Iterable[float] = (0.5, 1.0, 1.5, 2.0, 3.0),
+              subsampling: Iterable[bool] = (False, True),
+              configs: Iterable[str] = ("batched",),
+              batch: int = 8,
+              n_frames: int = 21,
+              out_csv: Optional[str] = None) -> List[dict]:
+    import cv2
+    from ..engine import StereoEngine
+
+    rows = []
+    for scale in scales:
+        W, H = int(1242 / scale), int(375 / scale)
+        imgs = []
+        from ..io.kitti import KittiRawSequence
+        seq = KittiRawSequence(kitti_path, width=W, height=H)
+        for i in range(min(len(seq), n_frames)):
+            imgs.append(seq[i])
+        for sub in subsampling:
+            for config in configs:
+                eng = StereoEngine(calib, W, H, scale=scale,
+                                   subsampling=sub,
+                                   use_pallas=(config != "xla"))
+                def frames(n):
+                    for i in range(n):
+                        yield imgs[i % len(imgs)]
+                try:
+                    if config == "batched":
+                        for _ in eng.stream_batched(frames(batch),
+                                                    batch=batch,
+                                                    fetch="dmap"):
+                            pass
+                        t0 = time.time()
+                        n = 0
+                        for _ in eng.stream_batched(frames(n_frames),
+                                                    batch=batch,
+                                                    fetch="dmap"):
+                            n += 1
+                        fps = n / (time.time() - t0)
+                    else:
+                        eng.process_frame(*imgs[0], fetch="dmap")
+                        t0 = time.time()
+                        for i in range(n_frames):
+                            eng.process_frame(*imgs[i % len(imgs)],
+                                              fetch="dmap")
+                        fps = n_frames / (time.time() - t0)
+                except Exception as e:  # record failures, keep sweeping
+                    print(f"sweep fail scale={scale} sub={sub} "
+                          f"config={config}: {e}", file=sys.stderr)
+                    continue
+                row = {"scale": scale, "subsampling": int(sub),
+                       "config": config, "width": W, "height": H,
+                       "avg_fps": round(fps, 2)}
+                print(row, file=sys.stderr)
+                rows.append(row)
+    if out_csv and rows:
+        with open(out_csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0]))
+            w.writeheader()
+            w.writerows(rows)
+    return rows
+
+
+if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kitti", default="/root/reference/datasets/kitti_mini")
+    ap.add_argument("--calib", default=None)
+    ap.add_argument("--out", default="sweep_results.csv")
+    ap.add_argument("--scales", default="1.0,2.0")
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+    import os.path as osp
+    calib = args.calib or osp.join(
+        osp.dirname(osp.dirname(osp.abspath(__file__))), "data",
+        "kitti_2011_09_26.yml")
+    run_sweep(args.kitti, calib,
+              scales=[float(s) for s in args.scales.split(",")],
+              batch=args.batch, out_csv=args.out)

@@ -1,0 +1,55 @@
+"""Multi-device tests on the forced 8-device CPU mesh: sharded pipeline
+correctness vs the single-device result, mesh construction, graft entries."""
+
+import numpy as np
+import jax
+import pytest
+
+from stereovision_tpu.params import robotics_params
+from stereovision_tpu.models.elas import ElasEngine
+from stereovision_tpu.parallel.mesh import make_mesh
+from stereovision_tpu.parallel.shard import ShardedStereoPipeline
+
+
+def _scene(batch, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    L = rng.integers(0, 255, (batch, h, w), dtype=np.uint8)
+    R = np.stack([np.roll(L[i], -(5 + i), axis=1) for i in range(batch)])
+    return L, R
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+class TestSharded:
+    def test_mesh_shapes(self):
+        m = make_mesh(8)
+        assert dict(m.shape) == {"stream": 8, "tile": 1}
+        m = make_mesh(8, tile=2)
+        assert dict(m.shape) == {"stream": 4, "tile": 2}
+
+    def test_sharded_matches_single_device(self):
+        h, w = 96, 160
+        p = robotics_params(disp_max=63, postprocess_only_left=False)
+        L, R = _scene(4, h, w)
+
+        single = ElasEngine(p, w, h)
+        ref = []
+        for i in range(4):
+            D1, _ = single.process(L[i], R[i])
+            ref.append(np.asarray(D1))
+
+        mesh = make_mesh(8, tile=2)
+        pipe = ShardedStereoPipeline(p, w, h, mesh)
+        D1b, D2b = pipe.run(L, R)
+        D1b = np.asarray(D1b)
+        for i in range(4):
+            assert np.array_equal(D1b[i], ref[i]), f"frame {i} differs"
+
+    def test_dryrun_entry(self):
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(8)
+
+    def test_entry_compiles(self):
+        import __graft_entry__ as ge
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == (96, 256)
