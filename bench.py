@@ -39,7 +39,10 @@ def main():
         log("compilation cache unavailable:", e)
 
     subsampling = os.environ.get("SV_BENCH_SUBSAMPLING", "0") == "1"
-    batch = int(os.environ.get("SV_BENCH_BATCH", "8"))
+    # batch 8 + subsampling trips a toolchain fault at this shape
+    # combination (see docs/KNOWN_ISSUES.md); batch 4 is stable there.
+    default_batch = "4" if subsampling else "8"
+    batch = int(os.environ.get("SV_BENCH_BATCH", default_batch))
     n_frames = int(os.environ.get("SV_BENCH_FRAMES", "42"))
     baseline = 21.62 if subsampling else 10.03
     metric = "kitti_full_sub_fps" if subsampling else "kitti_full_fps"

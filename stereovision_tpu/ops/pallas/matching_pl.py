@@ -39,16 +39,25 @@ BW = 128   # lane block (pixel cols)
 
 
 def _kernel(A_ref, B_ref, gm_ref, dlo_ref, dhi_ref, dpl_ref, pv_ref,
-            out_ref, *, D, W, Wp, off, right_image, prior, radius):
-    j = pl.program_id(1)
+            out_ref, *, D, W, Wp, off, right_image, prior, radius,
+            batched=False):
+    j = pl.program_id(2 if batched else 1)
     u0 = j * BW
     u = u0 + jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
 
-    A = A_ref[...]                            # (16, BH, BW) i32
-    dlo = dlo_ref[...]
-    dhi = dhi_ref[...]
-    dpl = dpl_ref[...]
-    pv = pv_ref[...] != 0
+    if batched:
+        # every ref carries a leading size-1 batch block
+        A = A_ref[0]                          # (16, BH, BW) i32
+        dlo = dlo_ref[0]
+        dhi = dhi_ref[0]
+        dpl = dpl_ref[0]
+        pv = pv_ref[0] != 0
+    else:
+        A = A_ref[...]
+        dlo = dlo_ref[...]
+        dhi = dhi_ref[...]
+        dpl = dpl_ref[...]
+        pv = pv_ref[...] != 0
 
     def body(d, acc):
         # B columns u -/+ d out of the stripe padded by D:
@@ -62,12 +71,18 @@ def _kernel(A_ref, B_ref, gm_ref, dlo_ref, dhi_ref, dpl_ref, pv_ref,
             start = D + u0 - d
         base = pl.multiple_of((start >> 7) << 7, 128)
         rem = start - base
-        win = B_ref[:, :, pl.ds(base, 2 * BW)]
+        if batched:
+            win = B_ref[0, :, :, pl.ds(base, 2 * BW)]
+        else:
+            win = B_ref[:, :, pl.ds(base, 2 * BW)]
         Bd = pltpu.roll(win, -rem, axis=2)[:, :, :BW]
         e = jnp.sum(jnp.abs(A - Bd), axis=0)              # (BH, BW) i32
 
         in_win = (d >= dlo) & (d <= dhi)
-        word = gm_ref[d >> 5, :, :]
+        if batched:
+            word = gm_ref[0, d >> 5, :, :]
+        else:
+            word = gm_ref[d >> 5, :, :]
         gbit = jnp.bitwise_and(
             jax.lax.shift_right_logical(word, jnp.bitwise_and(d, 31)), 1) == 1
         if right_image:
@@ -86,53 +101,98 @@ def _kernel(A_ref, B_ref, gm_ref, dlo_ref, dhi_ref, dpl_ref, pv_ref,
         key = ((e + pr + off) * 2 + in_win.astype(jnp.int32)) * 512 + d
         return jnp.minimum(acc, jnp.where(cand, key, _BIG))
 
-    out_ref[...] = jax.lax.fori_loop(
+    result = jax.lax.fori_loop(
         0, D, body, jnp.full((BH, BW), _BIG, jnp.int32))
+    if batched:
+        out_ref[0] = result
+    else:
+        out_ref[...] = result
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def matching_scan(A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid,
-                  p: ElasParams, W: int, right_image: bool) -> jnp.ndarray:
-    """Run the Pallas scan.  All inputs already padded: A (16, Hp, Wp),
-    Bpad (16, Hp, Wp + D); returns key (Hp, Wp) int32."""
-    _, Hp, Wp = A.shape
+def _scan_pallas_call(shapes, p: ElasParams, W: int, right_image: bool,
+                      batch: int = 0):
+    """Build the pallas_call for given (Hp, Wp); batch > 0 adds an explicit
+    leading batch grid dimension (used by the custom_vmap rule — vmapping
+    the pallas_call directly proved unreliable on this toolchain)."""
+    Hp, Wp = shapes
     D = p.disp_num
     P_tab = p.prior_table()
     off = int(max(512, 1 - int(P_tab.min())))
     radius = p.plane_radius
     prior = tuple(int(P_tab[i]) for i in range(radius + 1))
+    batched = batch > 0
 
-    grid = (Hp // BH, Wp // BW)
     kern = functools.partial(
         _kernel, D=D, W=W, Wp=Wp, off=off, right_image=right_image,
-        prior=prior, radius=radius)
+        prior=prior, radius=radius, batched=batched)
 
-    def spec2(shape_dtype=None):
-        return pl.BlockSpec((BH, BW), lambda i, j: (i, j),
-                            memory_space=pltpu.VMEM)
+    if batched:
+        grid = (batch, Hp // BH, Wp // BW)
 
+        def bs(block, imap):
+            return pl.BlockSpec((1,) + block,
+                                lambda b, i, j: (b,) + imap(i, j),
+                                memory_space=pltpu.VMEM)
+    else:
+        grid = (Hp // BH, Wp // BW)
+
+        def bs(block, imap):
+            return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
+
+    def spec2():
+        return bs((BH, BW), lambda i, j: (i, j))
+
+    lead = (batch,) if batched else ()
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((16, BH, BW), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, BH, Wp + D + BW), lambda i, j: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D // 32, BH, BW), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
+            bs((16, BH, BW), lambda i, j: (0, i, j)),
+            bs((16, BH, Wp + D + BW), lambda i, j: (0, i, 0)),
+            bs((D // 32, BH, BW), lambda i, j: (0, i, j)),
             spec2(), spec2(), spec2(), spec2(),
         ],
         out_specs=spec2(),
-        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(lead + (Hp, Wp), jnp.int32),
         cost_estimate=pl.CostEstimate(
-            flops=3 * 17 * D * Hp * Wp, bytes_accessed=2 * 16 * Hp * Wp,
+            flops=3 * 17 * D * Hp * Wp * max(batch, 1),
+            bytes_accessed=2 * 16 * Hp * Wp * max(batch, 1),
             transcendentals=0),
         interpret=jax.default_backend() == "cpu",
-    )(A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid)
+    )
+
+
+def matching_scan(A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid,
+                  p: ElasParams, W: int, right_image: bool) -> jnp.ndarray:
+    """Run the Pallas scan.  All inputs already padded: A (16, Hp, Wp),
+    Bpad (16, Hp, Wp + D); returns key (Hp, Wp) int32.  vmap-compatible:
+    under vmap the custom batching rule dispatches one batched pallas_call
+    with an explicit leading grid dimension."""
+    _, Hp, Wp = A.shape
+
+    @jax.custom_batching.custom_vmap
+    def scan(A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid):
+        return _scan_pallas_call((Hp, Wp), p, W, right_image)(
+            A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid)
+
+    @scan.def_vmap
+    def scan_vmap(axis_size, in_batched, A, Bpad, gm_bits, d_lo, d_hi,
+                  d_plane, pvalid):
+        args = []
+        for x, b in zip((A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid),
+                        in_batched):
+            if not b:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            args.append(x)
+        out = _scan_pallas_call((Hp, Wp), p, W, right_image,
+                                batch=axis_size)(*args)
+        return out, True
+
+    return scan(A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid)
 
 
 def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
