@@ -243,18 +243,8 @@ class StereoEngine:
                                       stacked["tri_l"], stacked["tri_r"])
             return t0, n, D1, dmap, points
 
-        nb = next_batch()
-        if nb is not None:
-            pending.append(nb)
-        nb2 = next_batch()
-        if nb2 is not None:
-            pending.append(nb2)
-        while pending:
-            entry = pending.popleft()
-            t0, n, D1, dmap, points = run_tail(entry)
-            nxt = next_batch()
-            if nxt is not None:
-                pending.append(nxt)
+        def emit(done):
+            t0, n, D1, dmap, points = done
             dmaps = np.asarray(dmap) if fetch in ("host", "dmap") else dmap
             pts_np = (np.asarray(points) if fetch == "host" else points)
             t1 = time.perf_counter()
@@ -265,6 +255,22 @@ class StereoEngine:
                        "points": (pts_np[i].reshape(-1, 3)
                                   if fetch == "host" else points[i]),
                        "timings": dict(self.timings)}
+
+        # Two-deep pipeline: stage A of the next batches is always queued
+        # ahead, so the host geometry stage of batch i overlaps the device
+        # tail of batch i-1.  (Emitting one batch late measured *slower*
+        # through the remote-TPU tunnel, so results are fetched eagerly.)
+        for _ in range(2):
+            nb = next_batch()
+            if nb is not None:
+                pending.append(nb)
+        while pending:
+            entry = pending.popleft()
+            done = run_tail(entry)
+            nxt = next_batch()
+            if nxt is not None:
+                pending.append(nxt)
+            yield from emit(done)
 
     # -- object fusion -------------------------------------------------------
 

@@ -41,12 +41,13 @@ class ElasEngine:
 
     def __init__(self, params: ElasParams, width: int, height: int,
                  rasterize=None, use_pallas: bool = False,
-                 host_filters: bool = True):
+                 host_filters: bool = True, speckle_max_iters: int = 0):
         # host_filters=True (default): support filtering runs on the host
         # with the reference's exact sequential in-place semantics
         # (hostlib); False keeps the snapshot filters on device (used by
         # fully-fused modes where no host stage exists).
         self.host_filters = host_filters
+        self.speckle_max_iters = speckle_max_iters
         self.p = params
         self.width = int(width)
         self.height = int(height)
@@ -132,9 +133,9 @@ class ElasEngine:
                    right_image=True)
 
         D1, D2 = post.lr_consistency_check(D1, D2, p)
-        D1 = post.remove_small_segments(D1, p)
+        D1 = post.remove_small_segments(D1, p, self.speckle_max_iters)
         if not p.postprocess_only_left:
-            D2 = post.remove_small_segments(D2, p)
+            D2 = post.remove_small_segments(D2, p, self.speckle_max_iters)
         D1 = post.gap_interpolation(D1, p)
         if not p.postprocess_only_left:
             D2 = post.gap_interpolation(D2, p)

@@ -39,7 +39,7 @@ BW = 128   # lane block (pixel cols)
 
 
 def _kernel(A_ref, B_ref, gm_ref, dlo_ref, dhi_ref, dpl_ref, pv_ref,
-            out_ref, *, D, W, Wp, off, right_image, prior, radius,
+            act_ref, out_ref, *, D, W, Wp, off, right_image, prior, radius,
             batched=False):
     j = pl.program_id(2 if batched else 1)
     u0 = j * BW
@@ -59,7 +59,7 @@ def _kernel(A_ref, B_ref, gm_ref, dlo_ref, dhi_ref, dpl_ref, pv_ref,
         dpl = dpl_ref[...]
         pv = pv_ref[...] != 0
 
-    def body(d, acc):
+    def compute(d, acc):
         # B columns u -/+ d out of the stripe padded by D:
         #   left:  Bpad[:, :, D + u - d]  -> block start D + u0 - d
         #   right: Bpad[:, :, u + d]      -> block start u0 + d
@@ -101,6 +101,19 @@ def _kernel(A_ref, B_ref, gm_ref, dlo_ref, dhi_ref, dpl_ref, pv_ref,
         key = ((e + pr + off) * 2 + in_win.astype(jnp.int32)) * 512 + d
         return jnp.minimum(acc, jnp.where(cand, key, _BIG))
 
+    def body(d, acc):
+        # Sparse-d skip: this block's active-disparity bitmask (union of
+        # its grid-cell candidates and plane windows, built in the XLA
+        # prep) lives in SMEM; inactive d skip all vector work.  Typical
+        # KITTI blocks activate <60 of 256 disparities.
+        if batched:
+            word = act_ref[0, 0, j, d >> 5]
+        else:
+            word = act_ref[0, j, d >> 5]
+        bit = jnp.bitwise_and(
+            jax.lax.shift_right_logical(word, jnp.bitwise_and(d, 31)), 1)
+        return jax.lax.cond(bit == 1, compute, lambda _, a: a, d, acc)
+
     result = jax.lax.fori_loop(
         0, D, body, jnp.full((BH, BW), _BIG, jnp.int32))
     if batched:
@@ -133,15 +146,15 @@ def _scan_pallas_call(shapes, p: ElasParams, W: int, right_image: bool,
     if batched:
         grid = (batch, Hp // BH, Wp // BW)
 
-        def bs(block, imap):
+        def bs(block, imap, space=pltpu.VMEM):
             return pl.BlockSpec((1,) + block,
                                 lambda b, i, j: (b,) + imap(i, j),
-                                memory_space=pltpu.VMEM)
+                                memory_space=space)
     else:
         grid = (Hp // BH, Wp // BW)
 
-        def bs(block, imap):
-            return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
+        def bs(block, imap, space=pltpu.VMEM):
+            return pl.BlockSpec(block, imap, memory_space=space)
 
     def spec2():
         return bs((BH, BW), lambda i, j: (i, j))
@@ -155,6 +168,10 @@ def _scan_pallas_call(shapes, p: ElasParams, W: int, right_image: bool,
             bs((16, BH, Wp + D + BW), lambda i, j: (0, i, 0)),
             bs((D // 32, BH, BW), lambda i, j: (0, i, j)),
             spec2(), spec2(), spec2(), spec2(),
+            # SMEM blocks need their last two dims equal to the array's,
+            # so each row-stripe gets its full (nbj, nwords) table and the
+            # kernel indexes it with program_id(j).
+            bs((1, Wp // BW, D // 32), lambda i, j: (i, 0, 0), pltpu.SMEM),
         ],
         out_specs=spec2(),
         out_shape=jax.ShapeDtypeStruct(lead + (Hp, Wp), jnp.int32),
@@ -166,25 +183,26 @@ def _scan_pallas_call(shapes, p: ElasParams, W: int, right_image: bool,
     )
 
 
-def matching_scan(A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid,
+def matching_scan(A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid, act,
                   p: ElasParams, W: int, right_image: bool) -> jnp.ndarray:
     """Run the Pallas scan.  All inputs already padded: A (16, Hp, Wp),
-    Bpad (16, Hp, Wp + D); returns key (Hp, Wp) int32.  vmap-compatible:
-    under vmap the custom batching rule dispatches one batched pallas_call
-    with an explicit leading grid dimension."""
+    Bpad (16, Hp, Wp + D), act (nbi, nbj, D//32) per-block active words;
+    returns key (Hp, Wp) int32.  vmap-compatible: under vmap the custom
+    batching rule dispatches one batched pallas_call with an explicit
+    leading grid dimension."""
     _, Hp, Wp = A.shape
 
     @jax.custom_batching.custom_vmap
-    def scan(A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid):
+    def scan(A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid, act):
         return _scan_pallas_call((Hp, Wp), p, W, right_image)(
-            A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid)
+            A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid, act)
 
     @scan.def_vmap
     def scan_vmap(axis_size, in_batched, A, Bpad, gm_bits, d_lo, d_hi,
-                  d_plane, pvalid):
+                  d_plane, pvalid, act):
         args = []
-        for x, b in zip((A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid),
-                        in_batched):
+        for x, b in zip((A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid,
+                         act), in_batched):
             if not b:
                 x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
             args.append(x)
@@ -192,7 +210,7 @@ def matching_scan(A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid,
                                 batch=axis_size)(*args)
         return out, True
 
-    return scan(A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid)
+    return scan(A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid, act)
 
 
 def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
@@ -257,9 +275,36 @@ def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
         B_p = jnp.pad(B, ((0, 0), (0, Hp - Ho), (D, Wp - W + BW)))
     B_p = B_p.astype(jnp.int32)
     gm_p = jnp.pad(gm_bits, ((0, 0),) + padHW)
+
+    # Per-block active-disparity words: union of the block's grid-cell
+    # candidate bits and the span of its plane windows.  The kernel skips
+    # every inactive d (typically >75% of them on KITTI scenes).
+    nbi, nbj = Hp // BH, Wp // BW
+    gm_blk = jnp.pad(gm, ((0, 0),) + padHW)            # (D, Hp, Wp) bool
+    gm_blk = jnp.any(gm_blk.reshape(D, nbi, BH, nbj, BW), axis=(2, 4))
+    gm_blk_words = jnp.sum(
+        gm_blk.reshape(nwords, 32, nbi, nbj).astype(jnp.uint32)
+        << np.arange(32, dtype=np.uint32)[None, :, None, None],
+        axis=1)                                         # (nwords, nbi, nbj)
+    lo_p = pad2(d_lo, D)                                # empty on padding
+    hi_p = pad2(d_hi, -1)
+    lo_blk = jnp.min(lo_p.reshape(nbi, BH, nbj, BW), axis=(1, 3))
+    hi_blk = jnp.max(hi_p.reshape(nbi, BH, nbj, BW), axis=(1, 3))
+    w0 = np.arange(nwords, dtype=np.int32)[:, None, None] * 32
+    lo_w = jnp.clip(lo_blk[None] - w0, 0, 32).astype(jnp.uint32)
+    hi_w = jnp.clip(hi_blk[None] + 1 - w0, 0, 32).astype(jnp.uint32)
+    full = jnp.uint32(0xFFFFFFFF)
+    upper = jnp.where(hi_w == 32, full,
+                      (jnp.uint32(1) << hi_w) - jnp.uint32(1))
+    lower = jnp.where(lo_w == 32, full,
+                      (jnp.uint32(1) << lo_w) - jnp.uint32(1))
+    win_words = upper & ~lower
+    act = jnp.transpose(gm_blk_words | win_words,
+                        (1, 2, 0)).astype(jnp.int32)    # (nbi, nbj, nwords)
+
     # padded pixels: d_lo > d_hi -> window empty; gm word 0 -> no candidates
     key = matching_scan(A_p, B_p, gm_p, pad2(d_lo, 1), pad2(d_hi, 0),
-                        pad2(d_plane), pad2(pvalid), p, W, right_image)
+                        pad2(d_plane), pad2(pvalid), act, p, W, right_image)
     key = key[:Ho, :W]
 
     Ai = A.astype(jnp.int32)

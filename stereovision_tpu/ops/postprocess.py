@@ -95,7 +95,7 @@ def _segmented_min_scan(lab, connect_prev, axis, reverse):
     return jnp.flip(out, axis) if reverse else out
 
 
-def remove_small_segments(D, p: ElasParams):
+def remove_small_segments(D, p: ElasParams, max_iters: int = 0):
     """Remove connected segments (4-connectivity, |Δd| <= sim threshold)
     smaller than speckle_size pixels (reference elas.cpp:1013-1124).
 
@@ -105,6 +105,12 @@ def remove_small_segments(D, p: ElasParams):
     scans), inside a convergence-tested while_loop.  At the fixpoint every
     component carries its minimum linear index — same result as the
     reference's BFS, with only scans and elementwise ops on device.
+
+    max_iters > 0 caps the label-propagation rounds (a speed knob: one
+    round merges runs along an entire row+column staircase step, so k
+    rounds resolve components with up to k bends; unconverged *large*
+    serpentine components may be over-fragmented and removed).  0 = run to
+    the exact fixpoint.
     """
     H, W = D.shape
     speckle = p.speckle_size
@@ -130,17 +136,21 @@ def remove_small_segments(D, p: ElasParams):
     init = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
 
     def step(state):
-        lab, _ = state
+        lab, _, it = state
         m = _segmented_min_scan(lab, conn_left, axis=1, reverse=False)
         m = _segmented_min_scan(m, conn_right, axis=1, reverse=True)
         m = _segmented_min_scan(m, conn_up, axis=0, reverse=False)
         m = _segmented_min_scan(m, conn_down, axis=0, reverse=True)
-        return m, jnp.any(m != lab)
+        return m, jnp.any(m != lab), it + 1
 
     def cond(state):
-        return state[1]
+        changed = state[1]
+        if max_iters > 0:
+            return changed & (state[2] < max_iters)
+        return changed
 
-    lab, _ = jax.lax.while_loop(cond, step, (init, jnp.bool_(True)))
+    lab, _, _ = jax.lax.while_loop(cond, step,
+                                   (init, jnp.bool_(True), jnp.int32(0)))
 
     sizes = jnp.zeros((n,), jnp.int32).at[lab.reshape(-1)].add(1)
     seg_size = sizes[lab]

@@ -1,0 +1,66 @@
+"""Pallas kernel parity vs the XLA formulations, in interpreter mode on CPU
+(the TPU runs the same kernels compiled; bit-exactness there is verified by
+the perf scripts and the golden test)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stereovision_tpu.params import robotics_params
+from stereovision_tpu.models.elas import ElasEngine
+from stereovision_tpu.ops.grid import build_grid_mask
+from stereovision_tpu.ops import matching
+from stereovision_tpu.ops.pallas import matching_pl
+
+
+@pytest.mark.parametrize("sub", [False, True])
+def test_matching_kernel_matches_xla(sub):
+    h, w = 64, 256
+    p = robotics_params(disp_max=63, subsampling=sub,
+                        postprocess_only_left=False)
+    rng = np.random.default_rng(3)
+    L = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    R = np.empty_like(L)
+    for v in range(h):
+        R[v] = np.roll(L[v], -(4 + v // 16))
+
+    eng = ElasEngine(p, width=w, height=h)
+    desc1, desc2, d_can = eng._stage_support(jnp.asarray(L), jnp.asarray(R))
+    g = eng.host_mid(np.asarray(d_can))
+
+    for right in (False, True):
+        tag = "r" if right else "l"
+        gm = build_grid_mask(jnp.asarray(g["pts"]), p, w, h, right)
+        args = ((desc2, desc1) if right else (desc1, desc2)) + (
+            jnp.asarray(g["tri_" + tag]), jnp.asarray(g["planes_" + tag]),
+            gm, p, right)
+        Dx = np.asarray(matching.compute_disparity(*args))
+        Dp = np.asarray(matching_pl.compute_disparity(*args))
+        assert np.array_equal(Dx, Dp), f"right={right} sub={sub}"
+
+
+def test_matching_kernel_batched_rule():
+    h, w = 32, 128
+    p = robotics_params(disp_max=31, postprocess_only_left=False)
+    rng = np.random.default_rng(4)
+    L = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    R = np.roll(L, -5, axis=1)
+    eng = ElasEngine(p, width=w, height=h)
+    desc1, desc2, d_can = eng._stage_support(jnp.asarray(L), jnp.asarray(R))
+    g = eng.host_mid(np.asarray(d_can))
+    gm = build_grid_mask(jnp.asarray(g["pts"]), p, w, h, False)
+
+    single = np.asarray(matching_pl.compute_disparity(
+        desc1, desc2, jnp.asarray(g["tri_l"]), jnp.asarray(g["planes_l"]),
+        gm, p, False))
+
+    B = 3
+    st = lambda x: jnp.asarray(np.stack([np.asarray(x)] * B))
+    batched = jax.vmap(
+        lambda a, b, t, pm, gmask: matching_pl.compute_disparity(
+            a, b, t, pm, gmask, p, False)
+    )(st(desc1), st(desc2), st(g["tri_l"]), st(g["planes_l"]), st(gm))
+    batched = np.asarray(batched)
+    for i in range(B):
+        assert np.array_equal(batched[i], single)
