@@ -58,8 +58,10 @@ class StereoEngine:
                  subsampling: bool = False,
                  use_pallas: Optional[bool] = None,
                  rasterize=None,
-                 true_scale_cloud: bool = False):
+                 true_scale_cloud: bool = False,
+                 remove_sky: bool = False):
         self.p = params or app_params(subsampling=subsampling)
+        self.remove_sky = remove_sky
         self.width = int(width)
         self.height = int(height)
         self.pc_w = self.width * pc_extrapolation
@@ -92,6 +94,12 @@ class StereoEngine:
     def _reproject_impl(self, D1):
         dmap = jnp.clip(jnp.round(D1 * self.disp_display_scale),
                         0, 255).astype(jnp.uint8)
+        if self.remove_sky:
+            # zero disparity above ~55% height (reference remove_sky,
+            # stereo_vision.cpp:484-490: mask rows [0, H/2*1.1))
+            sky_rows = int(dmap.shape[0] // 2 * 1.1)
+            mask = (np.arange(dmap.shape[0]) >= sky_rows)[:, None]
+            dmap = jnp.where(mask, dmap, 0)
         pc = dmap
         if (self.pc_h, self.pc_w) != dmap.shape:
             pc = jax.image.resize(dmap.astype(jnp.float32),
