@@ -76,14 +76,15 @@ def main():
 
     # warmup / compile
     t0 = time.time()
-    for _ in eng.stream_batched(frames(batch), batch=batch, fetch="dmap"):
+    for _ in eng.stream_batched(frames(batch), batch=batch, fetch="dmap",
+                                pipeline_depth=3):
         pass
     log(f"compile+warmup: {time.time() - t0:.1f}s")
 
     t0 = time.time()
     n = 0
     for out in eng.stream_batched(frames(n_frames), batch=batch,
-                                  fetch="dmap"):
+                                  fetch="dmap", pipeline_depth=3):
         n += 1
     dt = time.time() - t0
     fps = n / dt

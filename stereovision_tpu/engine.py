@@ -207,16 +207,20 @@ class StereoEngine:
         return self._batched_cache
 
     def stream_batched(self, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
-                       batch: int = 4, fetch: str = "dmap") -> Iterator[Dict]:
+                       batch: int = 4, fetch: str = "dmap",
+                       pipeline_depth: int = 2) -> Iterator[Dict]:
         """Throughput mode: process frames in batches of `batch` per device
         dispatch (vmapped pipeline).  Amortizes dispatch latency and fills
         the VPU — the TPU-native scaling axis the reference has no analogue
-        for (its three builds are all single-frame).  Host geometry for the
-        frames of a batch runs in a thread pool, overlapped with the device
-        stage of the previous batch.  Yields per-frame results in order."""
+        for (its three builds are all single-frame).  The per-batch chain
+        (support-grid fetch -> host geometry -> dense-tail dispatch ->
+        output fetch) runs on `pipeline_depth` worker threads, so host work
+        and transfers of one batch overlap device execution of another.
+        Yields per-frame results in order."""
         import concurrent.futures as cf
         f_a, f_tail = self._batched_fns
         ex = cf.ThreadPoolExecutor(max_workers=min(batch, 8))
+        workers = cf.ThreadPoolExecutor(max_workers=max(pipeline_depth, 1))
         it = iter(frames)
         pending = collections.deque()
 
@@ -249,35 +253,35 @@ class StereoEngine:
                                       stacked["planes_l"],
                                       stacked["planes_r"],
                                       stacked["tri_l"], stacked["tri_r"])
-            return t0, n, D1, dmap, points
-
-        def emit(done):
-            t0, n, D1, dmap, points = done
             dmaps = np.asarray(dmap) if fetch in ("host", "dmap") else dmap
             pts_np = (np.asarray(points) if fetch == "host" else points)
+            return t0, n, dmaps, pts_np
+
+        def emit(done):
+            t0, n, dmaps, pts_np = done
             t1 = time.perf_counter()
             per = (t1 - t0) / n
             for i in range(n):
                 self.timings = {"t_t": per, "dmap_t": per, "pc_t": 0.0}
                 yield {"dmap": dmaps[i],
                        "points": (pts_np[i].reshape(-1, 3)
-                                  if fetch == "host" else points[i]),
+                                  if fetch == "host" else pts_np[i]),
                        "timings": dict(self.timings)}
 
-        # Two-deep pipeline: stage A of the next batches is always queued
-        # ahead, so the host geometry stage of batch i overlaps the device
-        # tail of batch i-1.  (Emitting one batch late measured *slower*
-        # through the remote-TPU tunnel, so results are fetched eagerly.)
-        for _ in range(2):
+        # Threaded pipeline: each batch's tail chain (support-grid fetch ->
+        # host geometry -> tail dispatch -> output fetch) runs on a worker
+        # thread, `pipeline_depth` batches in flight; the main thread keeps
+        # the device fed with stage-A dispatches and yields in order.
+        for _ in range(pipeline_depth):
             nb = next_batch()
             if nb is not None:
-                pending.append(nb)
+                pending.append(workers.submit(run_tail, nb))
         while pending:
-            entry = pending.popleft()
-            done = run_tail(entry)
+            fut = pending.popleft()
+            done = fut.result()
             nxt = next_batch()
             if nxt is not None:
-                pending.append(nxt)
+                pending.append(workers.submit(run_tail, nxt))
             yield from emit(done)
 
     # -- object fusion -------------------------------------------------------
