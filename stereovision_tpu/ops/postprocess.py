@@ -135,13 +135,43 @@ def remove_small_segments(D, p: ElasParams, max_iters: int = 0):
     n = H * W
     init = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
 
-    def step(state):
-        lab, _, it = state
-        m = _segmented_min_scan(lab, conn_left, axis=1, reverse=False)
-        m = _segmented_min_scan(m, conn_right, axis=1, reverse=True)
-        m = _segmented_min_scan(m, conn_up, axis=0, reverse=False)
-        m = _segmented_min_scan(m, conn_down, axis=0, reverse=True)
-        return m, jnp.any(m != lab), it + 1
+    rekey_ok = n * (max(H, W) + 1) < 2**31
+    if rekey_ok:
+        # Hoist the loop-invariant segment-offset keys (see
+        # _segmented_min_scan): each scan in the loop is then just
+        # subtract -> cummin -> add — about half the per-iteration cost.
+        stride = jnp.int32(n + 1)
+
+        def seg_offset(connp, axis, reverse):
+            c = jnp.flip(connp, axis) if reverse else connp
+            sid = jnp.cumsum((~c).astype(jnp.int32), axis=axis)
+            return sid * stride
+
+        offs = (seg_offset(conn_left, 1, False),
+                seg_offset(conn_right, 1, True),
+                seg_offset(conn_up, 0, False),
+                seg_offset(conn_down, 0, True))
+
+        def scan_dir(lab, off, axis, reverse):
+            x = jnp.flip(lab, axis) if reverse else lab
+            out = jax.lax.cummin(x - off, axis=axis) + off
+            return jnp.flip(out, axis) if reverse else out
+
+        def step(state):
+            lab, _, it = state
+            m = scan_dir(lab, offs[0], 1, False)
+            m = scan_dir(m, offs[1], 1, True)
+            m = scan_dir(m, offs[2], 0, False)
+            m = scan_dir(m, offs[3], 0, True)
+            return m, jnp.any(m != lab), it + 1
+    else:
+        def step(state):
+            lab, _, it = state
+            m = _segmented_min_scan(lab, conn_left, axis=1, reverse=False)
+            m = _segmented_min_scan(m, conn_right, axis=1, reverse=True)
+            m = _segmented_min_scan(m, conn_up, axis=0, reverse=False)
+            m = _segmented_min_scan(m, conn_down, axis=0, reverse=True)
+            return m, jnp.any(m != lab), it + 1
 
     def cond(state):
         changed = state[1]
