@@ -208,7 +208,8 @@ class StereoEngine:
 
     def stream_batched(self, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
                        batch: int = 4, fetch: str = "dmap",
-                       pipeline_depth: int = 2) -> Iterator[Dict]:
+                       pipeline_depth: int = 2,
+                       host_workers: str = "process") -> Iterator[Dict]:
         """Throughput mode: process frames in batches of `batch` per device
         dispatch (vmapped pipeline).  Amortizes dispatch latency and fills
         the VPU — the TPU-native scaling axis the reference has no analogue
@@ -245,8 +246,12 @@ class StereoEngine:
         def run_tail(entry):
             t0, n, (desc1, desc2, d_can) = entry
             dcs = np.asarray(d_can)
-            gs = list(ex.map(self.elas.host_mid, [dcs[i] for i in
-                             range(dcs.shape[0])]))
+            if host_workers == "process":
+                gs = self.elas.host_mid_parallel(
+                    [dcs[i] for i in range(dcs.shape[0])])
+            else:
+                gs = list(ex.map(self.elas.host_mid, [dcs[i] for i in
+                                 range(dcs.shape[0])]))
             stacked = {k: jnp.asarray(np.stack([g[k] for g in gs]))
                        for k in gs[0]}
             D1, dmap, points = f_tail(desc1, desc2, stacked["pts"],
