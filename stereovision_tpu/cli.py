@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Limit processed frame count (0 = all)")
     ap.add_argument("--preset", choices=["app", "robotics", "middlebury"],
                     default="app")
+    ap.add_argument("-ctu", "--camera_to_use", type=int, default=-1,
+                    help="Live mode: open system cameras N and N+2 "
+                         "(reference sv.py:296-331)")
+    ap.add_argument("-sw", "--swap", action="store_true",
+                    help="Swap left/right cameras in live mode")
     return ap
 
 
@@ -110,10 +115,48 @@ def run_profile(args) -> int:
     return 0
 
 
+def run_live(args) -> int:
+    """Dual-webcam live capture mode (reference sv.py:296-331)."""
+    import cv2
+    from .engine import StereoEngine
+
+    camL, camR = cv2.VideoCapture(), cv2.VideoCapture()
+    if not (camL.open(args.camera_to_use)
+            and camR.open(args.camera_to_use + 2)):
+        print("Cannot open camera pair starting at #%d"
+              % args.camera_to_use, file=sys.stderr)
+        return 1
+    camL.grab(), camR.grab()
+    _, left = camL.retrieve()
+    h, w = left.shape[:2]
+    W, H = int(w / args.scale), int(h / args.scale)
+    eng = StereoEngine(args.camera_calibration, W, H, scale=args.scale,
+                       pc_extrapolation=args.extrapolate_point_cloud,
+                       subsampling=bool(args.subsampling))
+
+    def frames():
+        while True:
+            camL.grab(), camR.grab()
+            _, l = camL.retrieve()
+            _, r = camR.retrieve()
+            if args.swap:
+                l, r = r, l
+            yield cv2.resize(l, (W, H)), cv2.resize(r, (W, H))
+
+    for out in eng.stream(frames()):
+        t = out["timings"]
+        print("(FPS=%f) (%d, %d) (t_t=%f, dmap_t=%f, pc_t=%f)"
+              % (1 / max(t["t_t"], 1e-9), out["dmap"].shape[0],
+                 out["dmap"].shape[1], t["t_t"], t["dmap_t"], t["pc_t"]))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.profile:
         return run_profile(args)
+    if args.camera_to_use >= 0:
+        return run_live(args)
 
     from .engine import StereoEngine
     from .io import kitti as kio
