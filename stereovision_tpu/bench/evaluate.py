@@ -59,16 +59,23 @@ def evaluate_profile_goldens(profile_dir: str,
     for name in names:
         L = load_pgm(osp.join(profile_dir, f"{name}_left.pgm"))
         R = load_pgm(osp.join(profile_dir, f"{name}_right.pgm"))
-        gold = load_pgm(osp.join(profile_dir, f"{name}_left_disp.pgm"))
+        gold = load_pgm(osp.join(profile_dir,
+                                 f"{name}_left_disp.pgm")).astype(np.float64)
         eng = ElasEngine(p, width=L.shape[1], height=L.shape[0],
                          use_pallas=use_pallas)
         D1, D2 = eng.process(L, R)
         D1, D2 = np.asarray(D1), np.asarray(D2)
-        dm = max(D1.max(), D2.max(), 1e-9)
-        ours = np.clip(255.0 * np.maximum(D1, 0) / dm, 0, 255).astype(
-            np.uint8).astype(np.float64)
-        # both maps are on the 255/dm normalized scale; 3 px == 3*255/dm
-        r = bad_n(ours, gold.astype(np.float64), n=3.0 * 255.0 / dm)
+        # The goldens are normalized by the producing run's GLOBAL max
+        # disparity (runProfiling, stereo_vision.cpp:723-737), so a single
+        # outlier pixel shifts the whole scale.  Recover the golden's
+        # disparity scale robustly (median ratio over confidently valid
+        # pixels) instead of assuming our max equals theirs.
+        ours_true = np.maximum(D1, 0)
+        both = (D1 > 1) & (gold > 1)
+        scale = np.median(gold[both] / np.maximum(ours_true[both], 1e-6))
+        gold_true = gold / max(scale, 1e-9)
+        r = bad_n(ours_true, gold_true, n=3.0,
+                  pred_valid=D1 >= 0, gt_valid=gold > 0)
         r.name = name
         results.append(r)
     return results
