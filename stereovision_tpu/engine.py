@@ -243,13 +243,22 @@ class StereoEngine:
             out = f_a(jnp.asarray(g1), jnp.asarray(g2))
             return (t0, n_real, out)
 
+        host_mode = {"mode": host_workers}
+
         def run_tail(entry):
             t0, n, (desc1, desc2, d_can) = entry
             dcs = np.asarray(d_can)
-            if host_workers == "process":
-                gs = self.elas.host_mid_parallel(
-                    [dcs[i] for i in range(dcs.shape[0])])
-            else:
+            gs = None
+            if host_mode["mode"] == "process":
+                try:
+                    gs = self.elas.host_mid_parallel(
+                        [dcs[i] for i in range(dcs.shape[0])])
+                except Exception:
+                    # spawn workers need an importable __main__ (REPL /
+                    # stdin scripts don't have one) — fall back to threads
+                    host_mode["mode"] = "thread"
+                    self.elas._host_pool = None
+            if gs is None:
                 gs = list(ex.map(self.elas.host_mid, [dcs[i] for i in
                                  range(dcs.shape[0])]))
             stacked = {k: jnp.asarray(np.stack([g[k] for g in gs]))
