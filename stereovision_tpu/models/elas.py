@@ -34,13 +34,15 @@ from ..ops.grid import build_grid_mask
 from ..ops.matching import compute_disparity
 from ..ops import postprocess as post
 from ..ops.planes import host_geometry
+from ..ops.spans import encode_tri_spans, expand_tri_spans
 
 
 def host_mid_standalone(d_can: np.ndarray, params: ElasParams, width: int,
-                        height: int, n_max: int, t_max: int,
+                        height: int, n_max: int, t_max: int, s_max: int,
                         host_filters: bool = True) -> Dict[str, np.ndarray]:
     """JAX-free host middle stage (picklable; used by process pools).
-    Same products as ElasEngine.host_mid."""
+    Same products as ElasEngine.host_mid.  The triangle-id maps travel as
+    (H, s_max, 2) int16 row spans (ops.spans) — ~3x less H2D than dense."""
     d_can = np.asarray(d_can)
     if host_filters:
         from ..hostlib.raster import filter_support_sequential
@@ -50,7 +52,7 @@ def host_mid_standalone(d_can: np.ndarray, params: ElasParams, width: int,
     except Exception:
         rfn = None
     g = host_geometry(d_can, params, width, height, rasterize=rfn)
-    pts = np.full((n_max, 3), -1, np.int32)
+    pts = np.full((n_max, 3), -1, np.int16)
     n = min(len(g["pts"]), n_max)
     pts[:n] = g["pts"][:n]
     out = {"pts": pts}
@@ -61,22 +63,24 @@ def host_mid_standalone(d_can: np.ndarray, params: ElasParams, width: int,
         out["planes_" + tag] = pl
         tri = g["tri_id_" + tag]
         tri = np.where(tri >= t_max, -1, tri)
-        out["tri_" + tag] = tri.astype(np.int16)
+        out["tri_" + tag] = encode_tri_spans(tri, s_max)
     return out
 
 
 _POOL_CFG = {}
 
 
-def _pool_init(params, width, height, n_max, t_max, host_filters):
+def _pool_init(params, width, height, n_max, t_max, s_max, host_filters):
     _POOL_CFG.update(params=params, width=width, height=height,
-                     n_max=n_max, t_max=t_max, host_filters=host_filters)
+                     n_max=n_max, t_max=t_max, s_max=s_max,
+                     host_filters=host_filters)
 
 
 def _pool_host_mid(d_can):
     c = _POOL_CFG
     return host_mid_standalone(d_can, c["params"], c["width"], c["height"],
-                               c["n_max"], c["t_max"], c["host_filters"])
+                               c["n_max"], c["t_max"], c["s_max"],
+                               c["host_filters"])
 
 
 class ElasEngine:
@@ -99,10 +103,13 @@ class ElasEngine:
         self.Wc = -(-self.width // step)
         # Static padding caps for the host-geometry arrays.  The grid has
         # Hc*Wc cells but the support filters keep only a few thousand
-        # points in practice; the caps bound H2D transfer size and are
-        # guarded (with truncation + warning) in host_mid.
-        self.n_max = min(self.Hc * self.Wc + 6, 16000)
-        self.t_max = min(2 * self.n_max + 8, 32000)
+        # points in practice (~2.2k on KITTI, measured); the caps bound H2D
+        # transfer size and are guarded (with truncation + warning) in
+        # host_mid.  s_max bounds triangle runs per image row (~210 measured
+        # on KITTI at width 1242; scales with width).
+        self.n_max = min(self.Hc * self.Wc + 6, 6144)
+        self.t_max = min(2 * self.n_max + 8, 12288)
+        self.s_max = max(64, self.width // 4)
         if rasterize is None:
             try:
                 from ..hostlib.raster import rasterize as _native_raster
@@ -130,7 +137,7 @@ class ElasEngine:
                 max_workers=workers, mp_context=mp.get_context("spawn"),
                 initializer=_pool_init,
                 initargs=(self.p, self.width, self.height, self.n_max,
-                          self.t_max, self.host_filters))
+                          self.t_max, self.s_max, self.host_filters))
         return self._host_pool
 
     def host_mid_parallel(self, d_cans, workers: int = 4):
@@ -162,7 +169,7 @@ class ElasEngine:
             d_can = filter_support_sequential(d_can, self.p)
         g = host_geometry(d_can, self.p, self.width, self.height,
                           rasterize=self._rasterize)
-        pts = np.full((self.n_max, 3), -1, np.int32)
+        pts = np.full((self.n_max, 3), -1, np.int16)
         n = min(len(g["pts"]), self.n_max)
         if len(g["pts"]) > self.n_max:
             import warnings
@@ -176,7 +183,7 @@ class ElasEngine:
             out["planes_" + tag] = pl
             tri = g["tri_id_" + tag]
             tri = np.where(tri >= self.t_max, -1, tri)
-            out["tri_" + tag] = tri.astype(np.int16)
+            out["tri_" + tag] = encode_tri_spans(tri, self.s_max)
         return out
 
     # ---- device stage B ---------------------------------------------------
@@ -184,6 +191,10 @@ class ElasEngine:
     def _stage_dense_impl(self, desc1, desc2, pts, planes_l, planes_r,
                           tri_l, tri_r):
         p = self.p
+        # triangle maps arrive as row spans; reconstruct dense on device
+        if tri_l.ndim == 3 and tri_l.shape[-1] == 2:
+            tri_l = expand_tri_spans(tri_l, self.width)
+            tri_r = expand_tri_spans(tri_r, self.width)
         grid_l = build_grid_mask(pts, p, self.width, self.height,
                                  right_image=False)
         grid_r = build_grid_mask(pts, p, self.width, self.height,
@@ -242,11 +253,11 @@ class ElasEngine:
     def process_jit(self):
         H, W = self.height, self.width
         out_types = (
-            jax.ShapeDtypeStruct((self.n_max, 3), np.int32),
+            jax.ShapeDtypeStruct((self.n_max, 3), np.int16),
             jax.ShapeDtypeStruct((self.t_max, 4), np.float32),
             jax.ShapeDtypeStruct((self.t_max, 4), np.float32),
-            jax.ShapeDtypeStruct((H, W), np.int16),
-            jax.ShapeDtypeStruct((H, W), np.int16),
+            jax.ShapeDtypeStruct((H, self.s_max, 2), np.int16),
+            jax.ShapeDtypeStruct((H, self.s_max, 2), np.int16),
         )
 
         def run(I1, I2):

@@ -9,6 +9,7 @@ from stereovision_tpu.ops.descriptor import (compute_descriptor,
                                              compute_descriptor_np)
 from stereovision_tpu.ops.grid import build_grid_mask
 from stereovision_tpu.ops.matching import compute_disparity
+from stereovision_tpu.ops.spans import expand_tri_spans
 from stereovision_tpu.models.elas import ElasEngine
 
 import oracle
@@ -26,10 +27,11 @@ def test_dense_matching_matches_oracle():
     eng = ElasEngine(p, width=w, height=h)
     desc1, desc2, d_can = eng._stage_support(jnp.asarray(L), jnp.asarray(R))
     g = eng.host_mid(np.asarray(d_can))
+    tri_l = np.asarray(expand_tri_spans(jnp.asarray(g["tri_l"]), w))
 
     grid_l = build_grid_mask(jnp.asarray(g["pts"]), p, w, h, False)
     mine = np.asarray(compute_disparity(
-        desc1, desc2, jnp.asarray(g["tri_l"]), jnp.asarray(g["planes_l"]),
+        desc1, desc2, jnp.asarray(tri_l), jnp.asarray(g["planes_l"]),
         grid_l, p, right_image=False))
 
     # oracle: per-pixel findMatch with the same tri/plane/grid inputs
@@ -38,7 +40,7 @@ def test_dense_matching_matches_oracle():
     P = p.prior_table()
     radius = p.plane_radius
     grid_np = np.asarray(grid_l)      # (D, gh, gw)
-    tri = g["tri_l"]
+    tri = tri_l
     planes = g["planes_l"]
     ref = np.full((h, w), -10.0, np.float32)
     for v in range(h):

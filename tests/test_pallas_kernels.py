@@ -11,6 +11,7 @@ from stereovision_tpu.params import robotics_params
 from stereovision_tpu.models.elas import ElasEngine
 from stereovision_tpu.ops.grid import build_grid_mask
 from stereovision_tpu.ops import matching
+from stereovision_tpu.ops.spans import expand_tri_spans
 from stereovision_tpu.ops.pallas import matching_pl
 
 
@@ -32,8 +33,9 @@ def test_matching_kernel_matches_xla(sub):
     for right in (False, True):
         tag = "r" if right else "l"
         gm = build_grid_mask(jnp.asarray(g["pts"]), p, w, h, right)
+        tri = expand_tri_spans(jnp.asarray(g["tri_" + tag]), w)
         args = ((desc2, desc1) if right else (desc1, desc2)) + (
-            jnp.asarray(g["tri_" + tag]), jnp.asarray(g["planes_" + tag]),
+            tri, jnp.asarray(g["planes_" + tag]),
             gm, p, right)
         Dx = np.asarray(matching.compute_disparity(*args))
         Dp = np.asarray(matching_pl.compute_disparity(*args))
@@ -50,9 +52,10 @@ def test_matching_kernel_batched_rule():
     desc1, desc2, d_can = eng._stage_support(jnp.asarray(L), jnp.asarray(R))
     g = eng.host_mid(np.asarray(d_can))
     gm = build_grid_mask(jnp.asarray(g["pts"]), p, w, h, False)
+    tri_l = expand_tri_spans(jnp.asarray(g["tri_l"]), w)
 
     single = np.asarray(matching_pl.compute_disparity(
-        desc1, desc2, jnp.asarray(g["tri_l"]), jnp.asarray(g["planes_l"]),
+        desc1, desc2, tri_l, jnp.asarray(g["planes_l"]),
         gm, p, False))
 
     B = 3
@@ -60,7 +63,7 @@ def test_matching_kernel_batched_rule():
     batched = jax.vmap(
         lambda a, b, t, pm, gmask: matching_pl.compute_disparity(
             a, b, t, pm, gmask, p, False)
-    )(st(desc1), st(desc2), st(g["tri_l"]), st(g["planes_l"]), st(gm))
+    )(st(desc1), st(desc2), st(tri_l), st(g["planes_l"]), st(gm))
     batched = np.asarray(batched)
     for i in range(B):
         assert np.array_equal(batched[i], single)

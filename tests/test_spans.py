@@ -1,0 +1,65 @@
+"""Round-trip exactness of the triangle-map span codec (ops.spans)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stereovision_tpu.ops.spans import encode_tri_spans, expand_tri_spans
+
+
+def _roundtrip(tri, s_max):
+    spans = encode_tri_spans(tri, s_max)
+    dense = np.asarray(expand_tri_spans(jnp.asarray(spans), tri.shape[1]))
+    return spans, dense
+
+
+def test_roundtrip_random_runs():
+    rng = np.random.default_rng(0)
+    H, W = 37, 300
+    tri = np.empty((H, W), np.int16)
+    for r in range(H):
+        pos = 0
+        while pos < W:
+            ln = int(rng.integers(1, 40))
+            tri[r, pos:pos + ln] = rng.integers(-1, 500)
+            pos += ln
+    spans, dense = _roundtrip(tri, s_max=W)
+    assert np.array_equal(dense, tri)
+    assert spans.dtype == np.int16
+
+
+def test_roundtrip_degenerate_rows():
+    # constant rows (one run), alternating every pixel (W runs)
+    H, W = 8, 64
+    tri = np.zeros((H, W), np.int16)
+    tri[1] = -1
+    tri[2] = np.arange(W) % 2
+    tri[3] = np.arange(W)          # W distinct runs
+    _, dense = _roundtrip(tri, s_max=W)
+    assert np.array_equal(dense, tri)
+
+
+def test_overflow_warns_and_keeps_prefix():
+    H, W = 2, 32
+    tri = np.arange(W, dtype=np.int16)[None].repeat(H, 0)  # 32 runs/row
+    import warnings
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        spans = encode_tri_spans(tri, s_max=8)
+    assert any("overflow" in str(w.message) for w in rec)
+    dense = np.asarray(expand_tri_spans(jnp.asarray(spans), W))
+    # first 8 runs exact, last kept id persists
+    assert np.array_equal(dense[:, :8], tri[:, :8])
+    assert (dense[:, 8:] == 7).all()
+
+
+def test_expand_under_vmap():
+    rng = np.random.default_rng(1)
+    H, W, B = 16, 96, 3
+    tris = []
+    for _ in range(B):
+        t = np.repeat(rng.integers(-1, 99, (H, 12)), 8, axis=1)[:, :W]
+        tris.append(t.astype(np.int16))
+    spans = np.stack([encode_tri_spans(t, 24) for t in tris])
+    out = jax.vmap(lambda s: expand_tri_spans(s, W))(jnp.asarray(spans))
+    assert np.array_equal(np.asarray(out), np.stack(tris))
