@@ -1,9 +1,201 @@
-"""Support-matching entry point for the Pallas execution config.
+"""Pallas TPU kernel for the support-point matching scan (hot kernel #2).
 
-The XLA support scan operates on the candidate rows only (Hc = H/5), which
-keeps it an order of magnitude cheaper than dense matching (~30 ms on v5e
-at KITTI size incl. dispatch), so it currently delegates to the XLA
-formulation; a dedicated kernel is a further optimization, not a
-correctness need."""
+Same semantics as ops.support.support_matches (reference
+computeSupportMatches / computeMatchingDisparity,
+src/serial_includes/elas/elas.cpp:266-440), but the 256-step disparity
+scan runs inside one kernel with the candidate-row descriptor stripes
+resident in VMEM.  The XLA formulation re-slices the row stacks through
+HBM every iteration of a 256-step while-loop; here each 8-row stripe is
+read once and the loop is pure VPU work.
 
-from ..support import support_matches  # noqa: F401
+Key moves:
+  * one SAD serves both directions (bwd(u', d) = fwd(u' + d, d), see
+    ops.support docstring) — the backward minima are tracked from a
+    1-plane dynamic roll of the forward cost;
+  * the disparity shift is applied INCREMENTALLY: the shifted B stripe is
+    a loop carry rotated by one lane per step (static-shift roll), instead
+    of a 32-plane dynamic rotate per step;
+  * rotation wrap-around only touches positions masked out by the border /
+    validity conditions applied in ops.support.finalize_support (shared
+    with the XLA path), so wrapped lanes never affect valid outputs.
+
+Inputs prepared by the wrapper (i32, padded):
+  A  (32, Hcp, Wp)  left candidate-row descriptor stack (16 taps x 2 rows)
+  B0 (32, Hcp, Wp)  right stack pre-shifted to the scan's first disparity
+Output:
+  (8, Hcp, Wp) i32: f1e,f1d,f2e,f2d (full width; wrapper slices grid
+  columns) and b1e,b1d,b2e,b2d.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...params import ElasParams
+from ..support import (finalize_support, remove_inconsistent,
+                       remove_redundant)
+
+_BIG = np.int32(2 ** 30)
+
+BH = 8
+
+
+def _kernel(A_ref, B_ref, out_ref, *, d_lo, d_hi, W, batched=False):
+    if batched:
+        A = A_ref[0]
+        C0 = B_ref[0]
+    else:
+        A = A_ref[...]
+        C0 = B_ref[...]
+    Wp = A.shape[-1]
+    u = jax.lax.broadcasted_iota(jnp.int32, (BH, Wp), 1)
+
+    def body(d, carry):
+        (C, f1e, f1d, f2e, f2d, b1e, b1d, b2e, b2d) = carry
+        # C(u) == B(u - d); SAD over the 32 descriptor planes.
+        F = jnp.sum(jnp.abs(A - C), axis=0)                  # (BH, Wp)
+        # Support-candidate cost = row-pair SAD at u-2 and u+2
+        # (the four (u±2, v±2) blocks of elas.cpp:271-274).  Rolls must be
+        # non-negative: -s becomes Wp - s (mod Wp for the dynamic case).
+        Fg = pltpu.roll(F, 2, axis=1) + pltpu.roll(F, Wp - 2, axis=1)
+
+        # forward (left image): valid iff u >= d + 5 (elas.cpp:318-321)
+        Fm = jnp.where(u >= d + 5, Fg, _BIG)
+        better1 = Fm < f1e
+        better2 = jnp.logical_and(~better1, Fm < f2e)
+        f2e = jnp.where(better1, f1e, jnp.where(better2, Fm, f2e))
+        f2d = jnp.where(better1, f1d, jnp.where(better2, d, f2d))
+        f1e = jnp.where(better1, Fm, f1e)
+        f1d = jnp.where(better1, d, f1d)
+
+        # backward (right image): bwd(u, d) = Fg(u + d), valid iff
+        # u <= W - d - 5 (elas.cpp:322-323 with right_image)
+        G = pltpu.roll(Fg, jnp.mod(-d, Wp), axis=1)
+        Gm = jnp.where(u <= W - d - 5, G, _BIG)
+        bb1 = Gm < b1e
+        bb2 = jnp.logical_and(~bb1, Gm < b2e)
+        b2e = jnp.where(bb1, b1e, jnp.where(bb2, Gm, b2e))
+        b2d = jnp.where(bb1, b1d, jnp.where(bb2, d, b2d))
+        b1e = jnp.where(bb1, Gm, b1e)
+        b1d = jnp.where(bb1, d, b1d)
+
+        # advance the shifted stripe: C(u) <- C(u-1) == B(u - (d+1))
+        C = pltpu.roll(C, 1, axis=2)
+        return (C, f1e, f1d, f2e, f2d, b1e, b1d, b2e, b2d)
+
+    big = jnp.full((BH, Wp), _BIG, jnp.int32)
+    neg = jnp.full((BH, Wp), -1, jnp.int32)
+    out = jax.lax.fori_loop(d_lo, d_hi + 1, body,
+                            (C0, big, neg, big, neg, big, neg, big, neg))
+    for k in range(8):
+        if batched:
+            out_ref[0, k] = out[k + 1]
+        else:
+            out_ref[k] = out[k + 1]
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _scan_pallas_call(shapes, d_lo: int, d_hi: int, W: int, batch: int = 0):
+    Hcp, Wp = shapes
+    batched = batch > 0
+    kern = functools.partial(_kernel, d_lo=d_lo, d_hi=d_hi, W=W,
+                             batched=batched)
+    if batched:
+        grid = (batch, Hcp // BH)
+
+        def bs(block, imap):
+            return pl.BlockSpec((1,) + block, lambda b, i: (b,) + imap(i),
+                                memory_space=pltpu.VMEM)
+    else:
+        grid = (Hcp // BH,)
+
+        def bs(block, imap):
+            return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
+
+    lead = (batch,) if batched else ()
+    D = d_hi - d_lo + 1
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[bs((32, BH, Wp), lambda i: (0, i, 0)),
+                  bs((32, BH, Wp), lambda i: (0, i, 0))],
+        out_specs=bs((8, BH, Wp), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(lead + (8, Hcp, Wp), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 33 * D * Hcp * Wp * max(batch, 1),
+            bytes_accessed=2 * 32 * 4 * Hcp * Wp * max(batch, 1),
+            transcendentals=0),
+        interpret=jax.default_backend() == "cpu",
+    )
+
+
+def _support_scan(A, B0, d_lo: int, d_hi: int, W: int) -> jnp.ndarray:
+    """Run the Pallas scan.  A, B0: (32, Hcp, Wp) i32.  Returns the
+    (8, Hcp, Wp) minima stack.  vmap dispatches one batched call with an
+    explicit leading grid dimension (vmapping pallas_call directly is
+    unreliable on this toolchain, see matching_pl)."""
+    _, Hcp, Wp = A.shape
+
+    @jax.custom_batching.custom_vmap
+    def scan(A, B0):
+        return _scan_pallas_call((Hcp, Wp), d_lo, d_hi, W)(A, B0)
+
+    @scan.def_vmap
+    def scan_vmap(axis_size, in_batched, A, B0):
+        args = []
+        for x, b in zip((A, B0), in_batched):
+            if not b:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            args.append(x)
+        out = _scan_pallas_call((Hcp, Wp), d_lo, d_hi, W,
+                                batch=axis_size)(*args)
+        return out, True
+
+    return scan(A, B0)
+
+
+def support_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
+                    p: ElasParams, apply_filters: bool = True) -> jnp.ndarray:
+    """Drop-in replacement for ops.support.support_matches using the Pallas
+    scan kernel (same outputs)."""
+    _, H, W = desc1.shape
+    step = p.step
+    Hc = -(-H // step)
+    d_lo = max(p.disp_min, 0)
+    d_hi = p.disp_max
+
+    vc = np.arange(Hc) * step
+    rows = np.stack([np.clip(vc - 2, 0, H - 1),
+                     np.clip(vc + 2, 0, H - 1)], axis=0)    # (2, Hc)
+    A = desc1[:, rows, :].astype(jnp.int32).reshape(32, Hc, W)
+    B = desc2[:, rows, :].astype(jnp.int32).reshape(32, Hc, W)
+    if d_lo > 0:
+        # pre-shift so the kernel's carry starts at B(u - d_lo)
+        B = jnp.pad(B, ((0, 0), (0, 0), (d_lo, 0)))[:, :, :W]
+
+    Hcp = _round_up(Hc, BH)
+    Wp = _round_up(W, 128)
+    pad = ((0, 0), (0, Hcp - Hc), (0, Wp - W))
+    out = _support_scan(jnp.pad(A, pad), jnp.pad(B, pad), d_lo, d_hi, W)
+
+    grid_cols = np.arange(-(-W // step)) * step
+    f = out[:4, :Hc, :W]
+    state = (f[0][:, grid_cols], f[1][:, grid_cols],
+             f[2][:, grid_cols], f[3][:, grid_cols],
+             out[4, :Hc, :W], out[5, :Hc, :W],
+             out[6, :Hc, :W], out[7, :Hc, :W])
+    d_can = finalize_support(state, desc1, desc2, p, H, W)
+    if apply_filters:
+        d_can = remove_inconsistent(d_can, p)
+        d_can = remove_redundant(d_can, p, vertical=True)
+        d_can = remove_redundant(d_can, p, vertical=False)
+    return d_can

@@ -125,7 +125,31 @@ def support_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
               jnp.full((Hc, W), -1, jnp.int32))
     state = jax.lax.fori_loop(max(p.disp_min, 0), dmax + 1, body,
                               init_g + init_b)
+    d_can = finalize_support(state, desc1, desc2, p, H, W)
+    if apply_filters:
+        d_can = remove_inconsistent(d_can, p)
+        d_can = remove_redundant(d_can, p, vertical=True)
+        d_can = remove_redundant(d_can, p, vertical=False)
+    return d_can
+
+
+def finalize_support(state, desc1, desc2, p: ElasParams, H: int, W: int
+                     ) -> jnp.ndarray:
+    """Scan minima -> validated support grid: the validity masks,
+    uniqueness ratios, and LR consistency of reference elas.cpp:266-440.
+
+    state: (f1e, f1d, f2e, f2d) at grid columns (Hc, Wc) and
+           (b1e, b1d, b2e, b2d) at all columns (Hc, W).
+    Shared by the XLA scan above and the Pallas kernel
+    (ops.pallas.support_pl), whose full-width forward minima are sliced
+    to grid columns by its wrapper before calling this.
+    """
     f1e, f1d, f2e, f2d, b1e, b1d, b2e, b2d = state
+    step = p.step
+    Hc = -(-H // step)
+    dmax = p.disp_max
+    vc = np.arange(Hc) * step
+    grid_cols = np.arange(-(-W // step)) * step
 
     # Pixel-level validity masks (reference elas.cpp:279, 296-327).
     tex1 = texture_sum(desc1)
@@ -166,16 +190,10 @@ def support_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
 
     # Grid row/col 0 are never candidates (loops start at 1,
     # reference elas.cpp:394-396).
-    edge = np.ones((Hc, Wc), dtype=bool)
+    edge = np.ones(d_can.shape, dtype=bool)
     edge[0, :] = False
     edge[:, 0] = False
-    d_can = jnp.where(edge, d_can, -1)
-
-    if apply_filters:
-        d_can = remove_inconsistent(d_can, p)
-        d_can = remove_redundant(d_can, p, vertical=True)
-        d_can = remove_redundant(d_can, p, vertical=False)
-    return d_can
+    return jnp.where(edge, d_can, -1)
 
 
 def _shift2d(x, dy, dx, fill):

@@ -67,3 +67,49 @@ def test_matching_kernel_batched_rule():
     batched = np.asarray(batched)
     for i in range(B):
         assert np.array_equal(batched[i], single)
+
+
+@pytest.mark.parametrize("filters", [False, True])
+def test_support_kernel_matches_xla(filters):
+    from stereovision_tpu.ops import support
+    from stereovision_tpu.ops.pallas import support_pl
+    from stereovision_tpu.ops.descriptor import compute_descriptor
+
+    h, w = 96, 384
+    p = robotics_params(disp_max=63, postprocess_only_left=False)
+    rng = np.random.default_rng(7)
+    L = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    R = np.empty_like(L)
+    for v in range(h):
+        R[v] = np.roll(L[v], -(6 + v // 24))
+    d1 = compute_descriptor(jnp.asarray(L))
+    d2 = compute_descriptor(jnp.asarray(R))
+    ref = np.asarray(support.support_matches(d1, d2, p,
+                                             apply_filters=filters))
+    mine = np.asarray(support_pl.support_matches(d1, d2, p,
+                                                 apply_filters=filters))
+    assert ref.shape == mine.shape
+    assert np.array_equal(ref, mine)
+    if not filters:
+        assert (ref >= 0).sum() > 50    # scene actually produced support
+
+
+def test_support_kernel_batched_rule():
+    from stereovision_tpu.ops import support
+    from stereovision_tpu.ops.pallas import support_pl
+    from stereovision_tpu.ops.descriptor import compute_descriptor
+
+    h, w = 64, 256
+    p = robotics_params(disp_max=31)
+    rng = np.random.default_rng(8)
+    L = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    R = np.roll(L, -7, axis=1)
+    d1 = compute_descriptor(jnp.asarray(L))
+    d2 = compute_descriptor(jnp.asarray(R))
+    single = np.asarray(support_pl.support_matches(d1, d2, p))
+    B = 3
+    st = lambda x: jnp.asarray(np.stack([np.asarray(x)] * B))
+    batched = jax.vmap(lambda a, b: support_pl.support_matches(a, b, p))(
+        st(d1), st(d2))
+    for i in range(B):
+        assert np.array_equal(np.asarray(batched)[i], single)
