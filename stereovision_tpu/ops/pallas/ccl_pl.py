@@ -1,0 +1,213 @@
+"""Pallas TPU kernel for speckle-removal connected components (hot #3).
+
+Same semantics as ops.postprocess.remove_small_segments (reference
+removeSmallSegments, src/serial_includes/elas/elas.cpp:1013-1124): label
+4-connected components of similar disparity, then invalidate components
+smaller than speckle_size.
+
+The XLA formulation iterates directional segmented cummins through HBM —
+~6 ms per round x ~33 convergence rounds at KITTI size, plus a 466k-wide
+gather for the size lookup.  Here the whole frame (384x1280 i32 ~ 2 MB)
+lives in VMEM and one kernel runs the entire fixpoint: each round is four
+segmented min-sweeps (row fwd/bwd, column fwd/bwd) in Kogge-Stone form
+(log-depth shifted mins with segment flags), iterated in a while_loop
+until the labels stop changing.
+
+The same kernel then runs a second time to SPREAD component sizes: with
+labels converged, every component's root (the pixel whose linear index
+equals the label) holds its size — min-propagating "size at root, +inf
+elsewhere" over the same connectivity delivers the size to every member
+without the per-pixel gather.  The only remaining XLA op between the two
+calls is the histogram scatter-add.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...params import ElasParams
+
+_BIG = np.int32(2 ** 30)
+
+
+def _segmented_min_sweep(val, conn, bit, axis, L, forward, stride):
+    """Inclusive segmented min-scan along `axis` (length L): values flow
+    from the segment start toward increasing index (forward) or decreasing
+    index.  Uses the re-key trick (key = val - stride * seg_id; plain
+    Kogge-Stone min never leaks across segments because stride exceeds the
+    value range) with the segment ids rebuilt by an in-sweep cumsum —
+    cheaper in VMEM than keeping flag/offset planes resident.  Requires
+    0 <= val < stride."""
+    shape = val.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+
+    def shifted(x, s, fill):
+        if forward:
+            sx = pltpu.roll(x, s, axis=axis)
+            return jnp.where(iota >= s, sx, fill)
+        sx = pltpu.roll(x, L - s, axis=axis)
+        return jnp.where(iota < L - s, sx, fill)
+
+    seg = 1 - ((conn >> bit) & 1)        # 1 at segment starts
+    s = 1
+    while s < L:
+        seg = seg + shifted(seg, s, 0)   # directional cumsum of starts
+        s *= 2
+    key = val - stride * seg
+    s = 1
+    while s < L:
+        key = jnp.minimum(key, shifted(key, s, _BIG))
+        s *= 2
+    return key + stride * seg
+
+
+def _kernel(conn_ref, init_ref, out_ref, *, Hp, Wp, stride, batched=False):
+    if batched:
+        conn = conn_ref[0]
+        lab0 = init_ref[0]
+    else:
+        conn = conn_ref[...]
+        lab0 = init_ref[...]
+
+    # conn bits: 0 = connected to (v, u-1), 1 = to (v, u+1),
+    #            2 = to (v-1, u), 3 = to (v+1, u)
+    def round_(lab):
+        m = _segmented_min_sweep(lab, conn, 0, 1, Wp, True, stride)
+        m = _segmented_min_sweep(m, conn, 1, 1, Wp, False, stride)
+        m = _segmented_min_sweep(m, conn, 2, 0, Hp, True, stride)
+        m = _segmented_min_sweep(m, conn, 3, 0, Hp, False, stride)
+        return m
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        lab, _ = state
+        m = round_(lab)
+        return m, jnp.any(m != lab)
+
+    lab, _ = jax.lax.while_loop(cond, body, (lab0, jnp.bool_(True)))
+    if batched:
+        out_ref[0] = lab
+    else:
+        out_ref[...] = lab
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _fixpoint_call(shapes, stride: int, batch: int = 0):
+    Hp, Wp = shapes
+    batched = batch > 0
+    kern = functools.partial(_kernel, Hp=Hp, Wp=Wp, stride=stride,
+                             batched=batched)
+    if batched:
+        grid = (batch,)
+
+        def bs():
+            return pl.BlockSpec((1, Hp, Wp), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        grid = (1,)
+
+        def bs():
+            return pl.BlockSpec((Hp, Wp), lambda _: (0, 0),
+                                memory_space=pltpu.VMEM)
+
+    lead = (batch,) if batched else ()
+    rounds = 40  # cost hint only
+    steps = int(math.log2(Wp)) * 2 + int(math.log2(Hp)) * 2 + 4
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[bs(), bs()],
+        out_specs=bs(),
+        out_shape=jax.ShapeDtypeStruct(lead + (Hp, Wp), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * rounds * steps * Hp * Wp * max(batch, 1),
+            bytes_accessed=3 * 4 * Hp * Wp * max(batch, 1),
+            transcendentals=0),
+        interpret=jax.default_backend() == "cpu",
+    )
+
+
+def _fixpoint(conn, init, stride):
+    """Run the in-VMEM fixpoint.  conn, init: (Hp, Wp) i32; init values must
+    lie in [0, stride)."""
+    Hp, Wp = conn.shape[-2:]
+
+    @jax.custom_batching.custom_vmap
+    def run(conn, init):
+        return _fixpoint_call((Hp, Wp), stride)(conn, init)
+
+    @run.def_vmap
+    def run_vmap(axis_size, in_batched, conn, init):
+        args = []
+        for x, b in zip((conn, init), in_batched):
+            if not b:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            args.append(x)
+        return _fixpoint_call((Hp, Wp), stride, batch=axis_size)(*args), True
+
+    return run(conn, init)
+
+
+def remove_small_segments(D, p: ElasParams):
+    """Drop-in Pallas replacement for
+    ops.postprocess.remove_small_segments (exact fixpoint only).
+
+    The kernel keeps the whole frame in VMEM (~7 live i32 planes); frames
+    where that exceeds the ~16 MB VMEM budget fall back to the XLA
+    formulation (identical results)."""
+    H, W = D.shape
+    if _round_up(H, 8) * _round_up(W, 128) * 4 * 7 > 14 * 2 ** 20:
+        from .. import postprocess as post
+        return post.remove_small_segments(D, p, 0)
+    speckle = p.speckle_size
+    if p.subsampling:
+        speckle = int(math.sqrt(float(p.speckle_size)) * 2)
+
+    valid = D >= 0
+
+    def conn_dir(dy, dx):
+        pads = ((max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0)))
+        nb = jnp.pad(D, pads, constant_values=-1e9)[
+            max(dy, 0):max(dy, 0) + H, max(dx, 0):max(dx, 0) + W]
+        nb_valid = jnp.pad(valid, pads)[
+            max(dy, 0):max(dy, 0) + H, max(dx, 0):max(dx, 0) + W]
+        return valid & nb_valid & (jnp.abs(D - nb) <= p.speckle_sim_threshold)
+
+    conn = (conn_dir(0, -1).astype(jnp.int32)
+            + 2 * conn_dir(0, 1).astype(jnp.int32)
+            + 4 * conn_dir(-1, 0).astype(jnp.int32)
+            + 8 * conn_dir(1, 0).astype(jnp.int32))
+
+    Hp = _round_up(H, 8)
+    Wp = _round_up(W, 128)
+    conn_p = jnp.pad(conn, ((0, Hp - H), (0, Wp - W)))   # padding: singletons
+    n = Hp * Wp
+    stride = n + 1
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(Hp, Wp)
+
+    lab = _fixpoint(conn_p, idx, stride)
+
+    sizes = jnp.zeros((n,), jnp.int32).at[lab.reshape(-1)].add(1)
+    # label == linear index of the component's first (row-major) pixel, so
+    # reshaping the histogram puts every component's size AT its root pixel
+    # — no gather.  Min-propagating (size at root, n elsewhere — the re-key
+    # sweep requires values < stride) over the same connectivity hands it
+    # to every member (a component's size always <= n, so the filler only
+    # ties when the component is the whole frame, where it IS the size).
+    root_size = sizes.reshape(Hp, Wp)
+    spread0 = jnp.where(lab == idx, root_size, n)
+    size_px = _fixpoint(conn_p, spread0, stride)[:H, :W]
+
+    return jnp.where(size_px < speckle, jnp.float32(-10.0), D)

@@ -113,3 +113,50 @@ def test_support_kernel_batched_rule():
         st(d1), st(d2))
     for i in range(B):
         assert np.array_equal(np.asarray(batched)[i], single)
+
+
+def test_ccl_kernel_matches_xla():
+    from stereovision_tpu.ops import postprocess as post
+    from stereovision_tpu.ops.pallas import ccl_pl
+    from stereovision_tpu.params import robotics_params
+
+    p = robotics_params(disp_max=63)
+    rng = np.random.default_rng(11)
+    h, w = 48, 160
+    # blobby disparity field with invalid speckles and serpentine shapes
+    D = np.full((h, w), -10.0, np.float32)
+    D[5:40, 10:150] = 12.0
+    D[8:12, 20:40] = 40.0                 # small isolated plateau
+    D[20, 50:130] = 80.0                  # thin line segment
+    D[21:30, 129] = 80.0                  # ... with a bend (serpentine)
+    D[30, 60:130] = 80.0
+    D[44:46, 3:6] = 7.0                   # tiny segment
+    noise = rng.integers(0, 3, (h, w))
+    D = np.where(D >= 0, D + noise, D).astype(np.float32)
+
+    for speckle_size in (20, 200):
+        q = robotics_params(disp_max=63, speckle_size=speckle_size)
+        ref = np.asarray(post.remove_small_segments(jnp.asarray(D), q, 0))
+        mine = np.asarray(ccl_pl.remove_small_segments(jnp.asarray(D), q))
+        assert np.array_equal(ref, mine), speckle_size
+
+
+def test_ccl_kernel_batched():
+    from stereovision_tpu.ops import postprocess as post
+    from stereovision_tpu.ops.pallas import ccl_pl
+    from stereovision_tpu.params import robotics_params
+
+    p = robotics_params(disp_max=31, speckle_size=30)
+    rng = np.random.default_rng(12)
+    B, h, w = 3, 24, 136
+    Ds = []
+    for _ in range(B):
+        D = np.where(rng.random((h, w)) < 0.7,
+                     rng.integers(0, 30, (h, w)).astype(np.float32), -10.0)
+        Ds.append(D.astype(np.float32))
+    Ds = np.stack(Ds)
+    ref = np.stack([np.asarray(post.remove_small_segments(
+        jnp.asarray(Ds[i]), p, 0)) for i in range(B)])
+    mine = np.asarray(jax.vmap(
+        lambda x: ccl_pl.remove_small_segments(x, p))(jnp.asarray(Ds)))
+    assert np.array_equal(ref, mine)
