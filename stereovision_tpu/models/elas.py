@@ -200,14 +200,16 @@ class ElasEngine:
         grid_r = build_grid_mask(pts, p, self.width, self.height,
                                  right_image=True)
         if self.use_pallas:
-            from ..ops.pallas import matching_pl, ccl_pl
+            from ..ops.pallas import matching_pl, ccl_pl, lr_pl
             match = matching_pl.compute_disparity
+            lr_check = lr_pl.lr_consistency_check
             speckle = (ccl_pl.remove_small_segments
                        if self.speckle_max_iters == 0 else
                        lambda D, q: post.remove_small_segments(
                            D, q, self.speckle_max_iters))
         else:
             match = compute_disparity
+            lr_check = post.lr_consistency_check
             speckle = lambda D, q: post.remove_small_segments(
                 D, q, self.speckle_max_iters)
         D1 = match(desc1, desc2, tri_l, planes_l, grid_l, p,
@@ -215,7 +217,7 @@ class ElasEngine:
         D2 = match(desc2, desc1, tri_r, planes_r, grid_r, p,
                    right_image=True)
 
-        D1, D2 = post.lr_consistency_check(D1, D2, p)
+        D1, D2 = lr_check(D1, D2, p)
         D1 = speckle(D1, p)
         if not p.postprocess_only_left:
             D2 = speckle(D2, p)

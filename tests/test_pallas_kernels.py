@@ -160,3 +160,32 @@ def test_ccl_kernel_batched():
     mine = np.asarray(jax.vmap(
         lambda x: ccl_pl.remove_small_segments(x, p))(jnp.asarray(Ds)))
     assert np.array_equal(ref, mine)
+
+
+@pytest.mark.parametrize("sub", [False, True])
+def test_lr_kernel_matches_xla(sub):
+    from stereovision_tpu.ops import postprocess as post
+    from stereovision_tpu.ops.pallas import lr_pl
+    from stereovision_tpu.params import robotics_params
+
+    p = robotics_params(disp_max=63, subsampling=sub)
+    rng = np.random.default_rng(13)
+    h, w = 40, 200
+    def field():
+        D = rng.integers(0, 64, (h, w)).astype(np.float32)
+        D = np.where(rng.random((h, w)) < 0.2, -1.0, D)
+        D = np.where(rng.random((h, w)) < 0.1, -10.0, D)
+        return D
+    D1, D2 = jnp.asarray(field()), jnp.asarray(field())
+    r1, r2 = post.lr_consistency_check(D1, D2, p)
+    m1, m2 = lr_pl.lr_consistency_check(D1, D2, p)
+    assert np.array_equal(np.asarray(r1), np.asarray(m1))
+    assert np.array_equal(np.asarray(r2), np.asarray(m2))
+
+    B = 3
+    st = lambda x: jnp.asarray(np.stack([np.asarray(x)] * B))
+    b1, b2 = jax.vmap(lambda a, b: lr_pl.lr_consistency_check(a, b, p))(
+        st(D1), st(D2))
+    for i in range(B):
+        assert np.array_equal(np.asarray(b1)[i], np.asarray(r1))
+        assert np.array_equal(np.asarray(b2)[i], np.asarray(r2))
