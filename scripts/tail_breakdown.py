@@ -24,7 +24,7 @@ def main():
     from stereovision_tpu.engine import StereoEngine, bgr_to_gray
     from stereovision_tpu.ops.spans import expand_tri_spans
     from stereovision_tpu.ops.grid import build_grid_mask
-    from stereovision_tpu.ops.pallas import matching_pl
+    from stereovision_tpu.ops.pallas import matching_pl, ccl_pl, lr_pl
     from stereovision_tpu.ops import postprocess as post
     from stereovision_tpu.ops.reproject import reproject
 
@@ -78,10 +78,10 @@ def main():
         lambda a, b, t, pm, g: matching_pl.compute_disparity(
             a, b, t, pm, g, p, True)),
         desc2, desc1, tri_r, st["planes_r"], gm_r)
-    D1c, D2c = timeit("lr_check", vm(
-        lambda x, y: post.lr_consistency_check(x, y, p)), D1, D2)
-    D1s = timeit("speckle_ccl", vm(
-        lambda x: post.remove_small_segments(x, p, 0)), D1c)
+    D1c, D2c = timeit("lr_check_pl", vm(
+        lambda x, y: lr_pl.lr_consistency_check(x, y, p)), D1, D2)
+    D1s = timeit("speckle_ccl_pl", vm(
+        lambda x: ccl_pl.remove_small_segments(x, p)), D1c)
     D1g = timeit("gap_interp", vm(
         lambda x: post.gap_interpolation(x, p)), D1s)
     D1a = timeit("adaptive_mean", vm(

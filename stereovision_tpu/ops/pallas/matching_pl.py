@@ -9,9 +9,13 @@ measured ~970 ms/pass on v5e; here each (8,128) pixel block reads its A
 block and B row-stripe once and does pure VPU work.
 
 Inputs prepared by the XLA wrapper (all padded to (8,128)-aligned shapes):
-  A        (16, Hp, Wp)  u8   reference-image descriptors (row-clamped)
-  Bpad     (16, Hp, Wp + D) u8 other-image descriptors, left- (left pass)
-                              or right- (right pass) padded by D columns
+  A        (16, Hp, Wp)  i32  reference-image descriptors, reordered so
+                              A[4j+k] = desc[4k+j] (matches packed-B bytes)
+  Bpad     (4, Hp, Wp + D) i32 other-image descriptors with 4 descriptor
+                              bytes packed per int32 (byte j of plane k is
+                              desc[4k+j]); packing shrinks the per-d
+                              dynamic lane roll — the kernel's dominant
+                              non-SAD cost — by 4x
   gm_bits  (D//32, Hp, Wp) i32 packed per-pixel candidate mask words
   d_lo/d_hi (Hp, Wp) i32      plane window bounds
   d_plane  (Hp, Wp) i32       plane prior centre
@@ -75,8 +79,12 @@ def _kernel(A_ref, B_ref, gm_ref, dlo_ref, dhi_ref, dpl_ref, pv_ref,
             win = B_ref[0, :, :, pl.ds(base, 2 * BW)]
         else:
             win = B_ref[:, :, pl.ds(base, 2 * BW)]
-        Bd = pltpu.roll(win, -rem, axis=2)[:, :, :BW]
-        e = jnp.sum(jnp.abs(A - Bd), axis=0)              # (BH, BW) i32
+        Bd = pltpu.roll(win, -rem, axis=2)[:, :, :BW]     # (4, BH, BW) packed
+        e = jnp.zeros((BH, BW), jnp.int32)
+        for byte in range(4):
+            Bb = jnp.bitwise_and(
+                jax.lax.shift_right_logical(Bd, 8 * byte), 255)
+            e = e + jnp.sum(jnp.abs(A[4 * byte:4 * byte + 4] - Bb), axis=0)
 
         in_win = (d >= dlo) & (d <= dhi)
         if batched:
@@ -101,21 +109,25 @@ def _kernel(A_ref, B_ref, gm_ref, dlo_ref, dhi_ref, dpl_ref, pv_ref,
         key = ((e + pr + off) * 2 + in_win.astype(jnp.int32)) * 512 + d
         return jnp.minimum(acc, jnp.where(cand, key, _BIG))
 
-    def body(d, acc):
-        # Sparse-d skip: this block's active-disparity bitmask (union of
-        # its grid-cell candidates and plane windows, built in the XLA
-        # prep) lives in SMEM; inactive d skip all vector work.  Typical
-        # KITTI blocks activate <60 of 256 disparities.
+    def body(t, acc):
+        # Sparse-d skip: the XLA prep extracts each block's compact list
+        # of active disparities (union of its grid-cell candidates and
+        # plane windows) into SMEM; the loop runs only over that list —
+        # typical KITTI blocks activate <40 of 256 disparities, and a
+        # full 256-iteration cond scan costs more in loop scaffolding
+        # than the active bodies do in vector work.
         if batched:
-            word = act_ref[0, 0, j, d >> 5]
+            d = act_ref[0, 0, j, t]
         else:
-            word = act_ref[0, j, d >> 5]
-        bit = jnp.bitwise_and(
-            jax.lax.shift_right_logical(word, jnp.bitwise_and(d, 31)), 1)
-        return jax.lax.cond(bit == 1, compute, lambda _, a: a, d, acc)
+            d = act_ref[0, j, t]
+        return compute(d, acc)
 
+    if batched:
+        n_act = act_ref[0, 0, j, D]
+    else:
+        n_act = act_ref[0, j, D]
     result = jax.lax.fori_loop(
-        0, D, body, jnp.full((BH, BW), _BIG, jnp.int32))
+        0, n_act, body, jnp.full((BH, BW), _BIG, jnp.int32))
     if batched:
         out_ref[0] = result
     else:
@@ -165,13 +177,14 @@ def _scan_pallas_call(shapes, p: ElasParams, W: int, right_image: bool,
         grid=grid,
         in_specs=[
             bs((16, BH, BW), lambda i, j: (0, i, j)),
-            bs((16, BH, Wp + D + BW), lambda i, j: (0, i, 0)),
+            bs((4, BH, Wp + D + BW), lambda i, j: (0, i, 0)),
             bs((D // 32, BH, BW), lambda i, j: (0, i, j)),
             spec2(), spec2(), spec2(), spec2(),
             # SMEM blocks need their last two dims equal to the array's,
-            # so each row-stripe gets its full (nbj, nwords) table and the
-            # kernel indexes it with program_id(j).
-            bs((1, Wp // BW, D // 32), lambda i, j: (i, 0, 0), pltpu.SMEM),
+            # so each row-stripe gets its full (nbj, D+1) active-list
+            # table (D disparity slots + trailing count) and the kernel
+            # indexes it with program_id(j).
+            bs((1, Wp // BW, D + 1), lambda i, j: (i, 0, 0), pltpu.SMEM),
         ],
         out_specs=spec2(),
         out_shape=jax.ShapeDtypeStruct(lead + (Hp, Wp), jnp.int32),
@@ -185,8 +198,9 @@ def _scan_pallas_call(shapes, p: ElasParams, W: int, right_image: bool,
 
 def matching_scan(A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid, act,
                   p: ElasParams, W: int, right_image: bool) -> jnp.ndarray:
-    """Run the Pallas scan.  All inputs already padded: A (16, Hp, Wp),
-    Bpad (16, Hp, Wp + D), act (nbi, nbj, D//32) per-block active words;
+    """Run the Pallas scan.  All inputs already padded: A (16, Hp, Wp) i32,
+    Bpad (4, Hp, Wp + D) packed i32, act (nbi, nbj, D+1) per-block active
+    disparity lists (front-packed, trailing count);
     returns key (Hp, Wp) int32.  vmap-compatible: under vmap the custom
     batching rule dispatches one batched pallas_call with an explicit
     leading grid dimension."""
@@ -265,42 +279,43 @@ def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
         return jnp.pad(x, padHW, constant_values=fill)
 
     # int32 descriptors: Mosaic's dynamic rotate (and most VPU ops) want
-    # 32-bit lanes; the cast is done once here instead of per d-iteration.
-    A_p = jnp.pad(A, ((0, 0),) + padHW).astype(jnp.int32)
+    # 32-bit lanes.  A is reordered so that A_p[4j+k] = A[4k+j] — the
+    # layout produced by unpacking byte j from packed-B plane k — and B is
+    # packed 4 bytes per int32 so the per-d dynamic roll moves 4x less.
+    A_p = jnp.pad(A, ((0, 0),) + padHW)
+    A_p = A_p.reshape(4, 4, Hp, Wp).transpose(1, 0, 2, 3) \
+             .reshape(16, Hp, Wp).astype(jnp.int32)
     # extra BW of right padding so the aligned 2*BW rotate-window never
     # reads out of bounds
     if right_image:
         B_p = jnp.pad(B, ((0, 0), (0, Hp - Ho), (0, Wp - W + D + BW)))
     else:
         B_p = jnp.pad(B, ((0, 0), (0, Hp - Ho), (D, Wp - W + BW)))
-    B_p = B_p.astype(jnp.int32)
+    shifts4 = np.arange(4, dtype=np.uint32)[None, :, None, None] * 8
+    B_p = jnp.sum(B_p.astype(jnp.uint32).reshape(4, 4, *B_p.shape[1:])
+                  << shifts4, axis=1).astype(jnp.int32)
     gm_p = jnp.pad(gm_bits, ((0, 0),) + padHW)
 
-    # Per-block active-disparity words: union of the block's grid-cell
-    # candidate bits and the span of its plane windows.  The kernel skips
-    # every inactive d (typically >75% of them on KITTI scenes).
+    # Per-block compact active-disparity list: union of the block's
+    # grid-cell candidate bits and the span of its plane windows,
+    # extracted into a sorted front-packed index list + count.  The
+    # kernel's d loop runs only over the list (dynamic trip count from
+    # SMEM) — on KITTI scenes that's <40 of 256 disparities, and loop
+    # scaffolding over inactive d was the kernel's dominant cost.
     nbi, nbj = Hp // BH, Wp // BW
     gm_blk = jnp.pad(gm, ((0, 0),) + padHW)            # (D, Hp, Wp) bool
     gm_blk = jnp.any(gm_blk.reshape(D, nbi, BH, nbj, BW), axis=(2, 4))
-    gm_blk_words = jnp.sum(
-        gm_blk.reshape(nwords, 32, nbi, nbj).astype(jnp.uint32)
-        << np.arange(32, dtype=np.uint32)[None, :, None, None],
-        axis=1)                                         # (nwords, nbi, nbj)
     lo_p = pad2(d_lo, D)                                # empty on padding
     hi_p = pad2(d_hi, -1)
     lo_blk = jnp.min(lo_p.reshape(nbi, BH, nbj, BW), axis=(1, 3))
     hi_blk = jnp.max(hi_p.reshape(nbi, BH, nbj, BW), axis=(1, 3))
-    w0 = np.arange(nwords, dtype=np.int32)[:, None, None] * 32
-    lo_w = jnp.clip(lo_blk[None] - w0, 0, 32).astype(jnp.uint32)
-    hi_w = jnp.clip(hi_blk[None] + 1 - w0, 0, 32).astype(jnp.uint32)
-    full = jnp.uint32(0xFFFFFFFF)
-    upper = jnp.where(hi_w == 32, full,
-                      (jnp.uint32(1) << hi_w) - jnp.uint32(1))
-    lower = jnp.where(lo_w == 32, full,
-                      (jnp.uint32(1) << lo_w) - jnp.uint32(1))
-    win_words = upper & ~lower
-    act = jnp.transpose(gm_blk_words | win_words,
-                        (1, 2, 0)).astype(jnp.int32)    # (nbi, nbj, nwords)
+    dall = np.arange(D, dtype=np.int32)[:, None, None]
+    active = gm_blk | ((dall >= lo_blk[None]) & (dall <= hi_blk[None]))
+    n_act = jnp.sum(active, axis=0).astype(jnp.int32)   # (nbi, nbj)
+    dlist = jnp.sort(jnp.where(active, dall, np.int32(D)), axis=0)
+    act = jnp.concatenate(
+        [jnp.transpose(dlist, (1, 2, 0)), n_act[..., None]],
+        axis=-1).astype(jnp.int32)                      # (nbi, nbj, D+1)
 
     # padded pixels: d_lo > d_hi -> window empty; gm word 0 -> no candidates
     key = matching_scan(A_p, B_p, gm_p, pad2(d_lo, 1), pad2(d_hi, 0),
