@@ -236,7 +236,6 @@ def main(argv=None) -> int:
     count = 0
     fetch = "host" if (args.dump != "none" or args.object_track) else "dmap"
     if args.batch > 0:
-        frames2 = (seq[i % len(seq)] for i in range(n_frames))
         for i, out in enumerate(eng.stream_batched(frames, batch=args.batch,
                                                    fetch=fetch)):
             t = out["timings"]
@@ -244,6 +243,10 @@ def main(argv=None) -> int:
                   % (1 / max(t["t_t"], 1e-9), out["dmap"].shape[0],
                      out["dmap"].shape[1], t["t_t"], t["dmap_t"],
                      t["pc_t"]))
+            # full per-frame handling (dumps / tracking / per-box XYZ) in
+            # batched mode too; seq is indexable, so re-fetch the left frame
+            # rather than teeing the consumed iterator
+            handle(i, out, seq[i % len(seq)][0])
             fps_accum += 1 / max(t["t_t"], 1e-9)
             count += 1
     else:

@@ -59,7 +59,8 @@ class StereoEngine:
                  use_pallas: Optional[bool] = None,
                  rasterize=None,
                  true_scale_cloud: bool = False,
-                 remove_sky: bool = False):
+                 remove_sky: bool = False,
+                 robot_frame: bool = False):
         self.p = params or app_params(subsampling=subsampling)
         self.remove_sky = remove_sky
         self.width = int(width)
@@ -83,6 +84,12 @@ class StereoEngine:
         # that behaviour for parity; True divides by 4 for metric clouds.
         self.disp_display_scale = 4.0
         self.true_scale_cloud = true_scale_cloud
+        # robot_frame=True applies the calibration's XR/XT rigid transform
+        # to the cloud (p' = XR @ p + XT), matching the reference CUDA
+        # tree's projectParallel kernel (stereo_vision.cu:208-211); the
+        # default False matches the serial tree, where the transform is
+        # commented out (stereo_vision.cpp:251).
+        self.robot_frame = robot_frame
         self._reproject = jax.jit(self._reproject_impl)
         # Fused dense stage + reprojection: one device dispatch for the
         # whole back half of the frame.
@@ -108,6 +115,10 @@ class StereoEngine:
         if self.true_scale_cloud:
             d_for_q = d_for_q / self.disp_display_scale
         points = reproject(d_for_q, self.rect.Q)
+        if self.robot_frame:
+            from .ops.reproject import apply_robot_transform
+            points = apply_robot_transform(points, self.rect.XR,
+                                           self.rect.XT)
         return dmap, points
 
     def _dense_tail_impl(self, desc1, desc2, pts, planes_l, planes_r,
@@ -186,11 +197,18 @@ class StereoEngine:
             D1, dmap_dev, points_dev = self._run_dense(desc1, desc2, g)
             dispatch_a()
             dmap = np.asarray(dmap_dev)
+            tq = time.perf_counter()
             points = points_dev
             if fetch == "host":
                 points = np.asarray(points_dev).reshape(-1, 3)
             t1 = time.perf_counter()
-            self.timings = {"t_t": t1 - t0, "dmap_t": t1 - t0, "pc_t": 0.0}
+            # dmap_t = time until the display disparity materialized on the
+            # host; pc_t = extra time to fetch the cloud (the stages are
+            # fused in one dispatch, so the split is observed at the fetch
+            # boundary — the reference's per-stage split is at
+            # stereo_vision.cpp:682).
+            self.timings = {"t_t": t1 - t0, "dmap_t": tq - t0,
+                            "pc_t": t1 - tq}
             yield {"dmap": dmap, "points": points,
                    "timings": dict(self.timings)}
 
@@ -268,15 +286,23 @@ class StereoEngine:
                                       stacked["planes_r"],
                                       stacked["tri_l"], stacked["tri_r"])
             dmaps = np.asarray(dmap) if fetch in ("host", "dmap") else dmap
+            t_dmap = time.perf_counter()
             pts_np = (np.asarray(points) if fetch == "host" else points)
-            return t0, n, dmaps, pts_np
+            return t0, n, dmaps, pts_np, t_dmap
 
         def emit(done):
-            t0, n, dmaps, pts_np = done
+            t0, n, dmaps, pts_np, t_dmap = done
             t1 = time.perf_counter()
             per = (t1 - t0) / n
+            # per-frame stage split (reference stereo_vision.cpp:682):
+            # dmap_t = batch time until display disparities materialized;
+            # pc_t = extra time for the cloud fetch (0 when it stays on
+            # device).
+            dmap_per = (t_dmap - t0) / n
+            pc_per = (t1 - t_dmap) / n
             for i in range(n):
-                self.timings = {"t_t": per, "dmap_t": per, "pc_t": 0.0}
+                self.timings = {"t_t": per, "dmap_t": dmap_per,
+                                "pc_t": pc_per}
                 yield {"dmap": dmaps[i],
                        "points": (pts_np[i].reshape(-1, 3)
                                   if fetch == "host" else pts_np[i]),

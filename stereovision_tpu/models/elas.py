@@ -56,6 +56,8 @@ def host_mid_standalone(d_can: np.ndarray, params: ElasParams, width: int,
     n = min(len(g["pts"]), n_max)
     pts[:n] = g["pts"][:n]
     out = {"pts": pts}
+    sub = 2 if params.subsampling else 1
+    Ho, Wo = params.out_shape(width, height)
     for tag in ("l", "r"):
         pl = np.zeros((t_max, 4), np.float32)
         t = min(len(g["planes_" + tag]), t_max)
@@ -63,6 +65,11 @@ def host_mid_standalone(d_can: np.ndarray, params: ElasParams, width: int,
         out["planes_" + tag] = pl
         tri = g["tri_id_" + tag]
         tri = np.where(tri >= t_max, -1, tri)
+        if sub != 1:
+            # Matching only samples the output lattice (every 2nd row and
+            # column); encode spans there — 4x less H2D than full-lattice
+            # spans.
+            tri = tri[::sub, ::sub][:Ho, :Wo]
         out["tri_" + tag] = encode_tri_spans(tri, s_max)
     return out
 
@@ -109,7 +116,10 @@ class ElasEngine:
         # on KITTI at width 1242; scales with width).
         self.n_max = min(self.Hc * self.Wc + 6, 6144)
         self.t_max = min(2 * self.n_max + 8, 12288)
-        self.s_max = max(64, self.width // 4)
+        # Triangle spans are encoded on the matching output lattice (half
+        # rows/cols under subsampling), so the run cap scales with Wo.
+        self.Ho, self.Wo = params.out_shape(self.width, self.height)
+        self.s_max = max(64, self.Wo // 4)
         if rasterize is None:
             try:
                 from ..hostlib.raster import rasterize as _native_raster
@@ -176,6 +186,7 @@ class ElasEngine:
             warnings.warn("support points truncated to n_max=%d" % self.n_max)
         pts[:n] = g["pts"][:n]
         out = {"pts": pts}
+        sub = 2 if self.p.subsampling else 1
         for tag in ("l", "r"):
             pl = np.zeros((self.t_max, 4), np.float32)
             t = min(len(g["planes_" + tag]), self.t_max)
@@ -183,6 +194,9 @@ class ElasEngine:
             out["planes_" + tag] = pl
             tri = g["tri_id_" + tag]
             tri = np.where(tri >= self.t_max, -1, tri)
+            if sub != 1:
+                # spans on the output lattice (see host_mid_standalone)
+                tri = tri[::sub, ::sub][:self.Ho, :self.Wo]
             out["tri_" + tag] = encode_tri_spans(tri, self.s_max)
         return out
 
@@ -191,10 +205,11 @@ class ElasEngine:
     def _stage_dense_impl(self, desc1, desc2, pts, planes_l, planes_r,
                           tri_l, tri_r):
         p = self.p
-        # triangle maps arrive as row spans; reconstruct dense on device
+        # triangle maps arrive as row spans on the output lattice;
+        # reconstruct dense on device
         if tri_l.ndim == 3 and tri_l.shape[-1] == 2:
-            tri_l = expand_tri_spans(tri_l, self.width)
-            tri_r = expand_tri_spans(tri_r, self.width)
+            tri_l = expand_tri_spans(tri_l, self.Wo)
+            tri_r = expand_tri_spans(tri_r, self.Wo)
         grid_l = build_grid_mask(pts, p, self.width, self.height,
                                  right_image=False)
         grid_r = build_grid_mask(pts, p, self.width, self.height,
@@ -259,13 +274,12 @@ class ElasEngine:
 
     @functools.cached_property
     def process_jit(self):
-        H, W = self.height, self.width
         out_types = (
             jax.ShapeDtypeStruct((self.n_max, 3), np.int16),
             jax.ShapeDtypeStruct((self.t_max, 4), np.float32),
             jax.ShapeDtypeStruct((self.t_max, 4), np.float32),
-            jax.ShapeDtypeStruct((H, self.s_max, 2), np.int16),
-            jax.ShapeDtypeStruct((H, self.s_max, 2), np.int16),
+            jax.ShapeDtypeStruct((self.Ho, self.s_max, 2), np.int16),
+            jax.ShapeDtypeStruct((self.Ho, self.s_max, 2), np.int16),
         )
 
         def run(I1, I2):

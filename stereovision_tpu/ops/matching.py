@@ -62,8 +62,15 @@ def compute_disparity(desc_self: jnp.ndarray, desc_other: jnp.ndarray,
     else:
         Bpad = jnp.pad(B, ((0, 0), (0, 0), (D, 0)))  # B[..., u - d]
 
-    # Per-pixel plane prior quantities (computed once, on the output lattice).
-    tid = jax.lax.slice(tri_id, (0, 0), (H, W), (sub, sub))[:Ho, :Wo].astype(jnp.int32)
+    # Per-pixel plane prior quantities (computed once, on the output
+    # lattice).  tri_id arrives either full-lattice (H, W) or already on
+    # the output lattice (Ho, Wo) (the span codec encodes the latter under
+    # subsampling to shrink H2D).
+    if tri_id.shape == (Ho, Wo):
+        tid = tri_id.astype(jnp.int32)
+    else:
+        tid = jax.lax.slice(tri_id, (0, 0), (H, W),
+                            (sub, sub))[:Ho, :Wo].astype(jnp.int32)
     has_tri = tid >= 0
     pl = planes[jnp.clip(tid, 0)]                    # (Ho, Wo, 4)
     a, b, c, a_other = (pl[..., 0], pl[..., 1], pl[..., 2], pl[..., 3])

@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...params import ElasParams
+from ...parallel import ctx as mesh_ctx
 
 _BIG = np.int32(2 ** 30)
 
@@ -141,12 +142,25 @@ def _fixpoint_call(shapes, stride: int, batch: int = 0):
 
 def _fixpoint(conn, init, stride):
     """Run the in-VMEM fixpoint.  conn, init: (Hp, Wp) i32; init values must
-    lie in [0, stride)."""
+    lie in [0, stride).  Components cross row boundaries, so under an active
+    parallel.ctx mesh the kernel runs tile-REPLICATED (every 'tile' member
+    computes the full frame) and shards only the batch over 'stream'."""
+    from jax.sharding import PartitionSpec as P
     Hp, Wp = conn.shape[-2:]
+
+    def specs(batched):
+        _, s_ax, _ = mesh_ctx.current()
+        lead = (s_ax,) if batched else ()
+        s = P(*lead, None, None)
+        return (s, s), s
 
     @jax.custom_batching.custom_vmap
     def run(conn, init):
-        return _fixpoint_call((Hp, Wp), stride)(conn, init)
+        call = _fixpoint_call((Hp, Wp), stride)
+        if mesh_ctx.current() is None:
+            return call(conn, init)
+        in_s, out_s = specs(False)
+        return mesh_ctx.shard_kernel(call, in_s, out_s, conn, init)
 
     @run.def_vmap
     def run_vmap(axis_size, in_batched, conn, init):
@@ -155,7 +169,12 @@ def _fixpoint(conn, init, stride):
             if not b:
                 x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
             args.append(x)
-        return _fixpoint_call((Hp, Wp), stride, batch=axis_size)(*args), True
+        call = _fixpoint_call((Hp, Wp), stride,
+                              batch=mesh_ctx.batch_split(axis_size))
+        if mesh_ctx.current() is None:
+            return call(*args), True
+        in_s, out_s = specs(True)
+        return mesh_ctx.shard_kernel(call, in_s, out_s, *args), True
 
     return run(conn, init)
 

@@ -26,6 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...params import ElasParams
+from ...parallel import ctx as mesh_ctx
 
 _INVALID = np.float32(-10.0)
 
@@ -121,8 +122,10 @@ def _lr_call(shapes, D, W, lr_thr, sub, batch: int = 0):
 def lr_consistency_check(D1, D2, p: ElasParams):
     """Drop-in Pallas replacement for
     ops.postprocess.lr_consistency_check (same outputs)."""
+    from jax.sharding import PartitionSpec as P
     H, W = D1.shape
-    Hp = _round_up(H, BH)
+    n_t = mesh_ctx.row_multiple()
+    Hp = _round_up(H, BH * n_t)
     Wp = _round_up(W, 128)
     pad = ((0, Hp - H), (0, Wp - W))
     D1p = jnp.pad(D1, pad, constant_values=_INVALID)
@@ -130,10 +133,22 @@ def lr_consistency_check(D1, D2, p: ElasParams):
     Dn = p.disp_num
     thr = float(p.lr_threshold)
     sub = bool(p.subsampling)
+    loc = (Hp // n_t, Wp)
+
+    def specs(batched):
+        # the check is along-row only: rows shard over 'tile', no halo
+        _, s_ax, t_ax = mesh_ctx.current()
+        lead = (s_ax,) if batched else ()
+        s = P(*lead, t_ax, None)
+        return (s, s), (s, s)
 
     @jax.custom_batching.custom_vmap
     def run(D1p, D2p):
-        return _lr_call((Hp, Wp), Dn, W, thr, sub)(D1p, D2p)
+        call = _lr_call(loc, Dn, W, thr, sub)
+        if mesh_ctx.current() is None:
+            return call(D1p, D2p)
+        in_s, out_s = specs(False)
+        return mesh_ctx.shard_kernel(call, in_s, out_s, D1p, D2p)
 
     @run.def_vmap
     def run_vmap(axis_size, in_batched, D1p, D2p):
@@ -142,8 +157,12 @@ def lr_consistency_check(D1, D2, p: ElasParams):
             if not b:
                 x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
             args.append(x)
-        return _lr_call((Hp, Wp), Dn, W, thr, sub,
-                        batch=axis_size)(*args), (True, True)
+        call = _lr_call(loc, Dn, W, thr, sub,
+                        batch=mesh_ctx.batch_split(axis_size))
+        if mesh_ctx.current() is None:
+            return call(*args), (True, True)
+        in_s, out_s = specs(True)
+        return mesh_ctx.shard_kernel(call, in_s, out_s, *args), (True, True)
 
     o1, o2 = run(D1p, D2p)
     return o1[..., :H, :W], o2[..., :H, :W]

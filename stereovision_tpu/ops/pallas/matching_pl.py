@@ -11,17 +11,31 @@ block and B row-stripe once and does pure VPU work.
 Inputs prepared by the XLA wrapper (all padded to (8,128)-aligned shapes):
   A        (16, Hp, Wp)  i32  reference-image descriptors, reordered so
                               A[4j+k] = desc[4k+j] (matches packed-B bytes)
-  Bpad     (4, Hp, Wp + D) i32 other-image descriptors with 4 descriptor
+  B planes (4, Hp, Wp + front + BW) i32
+                              other-image descriptors with 4 descriptor
                               bytes packed per int32 (byte j of plane k is
                               desc[4k+j]); packing shrinks the per-d
                               dynamic lane roll — the kernel's dominant
-                              non-SAD cost — by 4x
+                              non-SAD cost — by 4x.  `front` is the left
+                              zero-padding (D full-res, D//2 subsampled)
+                              and the extra BW on the right keeps the
+                              aligned 2*BW rotate-window in bounds.
   gm_bits  (D//32, Hp, Wp) i32 packed per-pixel candidate mask words
   d_lo/d_hi (Hp, Wp) i32      plane window bounds
   d_plane  (Hp, Wp) i32       plane prior centre
   pvalid   (Hp, Wp) i32       1 where the plane prior applies
 Output:
   key      (Hp, Wp) i32       lexicographic min key (see ops.matching)
+
+Subsampled mode (reference elas.h:83-85, elas.cpp:713-726) runs NATIVELY at
+half column width: the output lattice is the even full-res columns u = 2x,
+and B is split into even/odd column planes so that the warped column
+  u - d = 2x - d  ->  even plane at x - (d>>1)        (d even)
+                      odd  plane at x - (d>>1) - 1    (d odd)
+  u + d = 2x + d  ->  even plane at x + (d>>1)        (d even)
+                      odd  plane at x + (d>>1)        (d odd)
+The per-block active-disparity lists are split by parity so each plane gets
+a static inner loop; total kernel work halves vs the old full-width scan.
 """
 
 from __future__ import annotations
@@ -35,6 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...params import ElasParams
+from ...parallel import ctx as mesh_ctx
 
 _BIG = np.int32(2**30)
 
@@ -42,9 +57,18 @@ BH = 8     # sublane block (pixel rows)
 BW = 128   # lane block (pixel cols)
 
 
-def _kernel(A_ref, B_ref, gm_ref, dlo_ref, dhi_ref, dpl_ref, pv_ref,
-            act_ref, out_ref, *, D, W, Wp, off, right_image, prior, radius,
-            batched=False):
+def _kernel(*refs, D, W, Wp, front, off, right_image, prior, radius,
+            batched=False, sub=False):
+    if sub:
+        (A_ref, Be_ref, Bo_ref, gm_ref, dlo_ref, dhi_ref, dpl_ref, pv_ref,
+         acte_ref, acto_ref, out_ref) = refs
+        # (B plane, its active list, left-pass extra column shift)
+        loops = ((Be_ref, acte_ref, 0), (Bo_ref, acto_ref, 1))
+    else:
+        (A_ref, B_ref, gm_ref, dlo_ref, dhi_ref, dpl_ref, pv_ref,
+         act_ref, out_ref) = refs
+        loops = ((B_ref, act_ref, 0),)
+
     j = pl.program_id(2 if batched else 1)
     u0 = j * BW
     u = u0 + jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1)
@@ -63,16 +87,17 @@ def _kernel(A_ref, B_ref, gm_ref, dlo_ref, dhi_ref, dpl_ref, pv_ref,
         dpl = dpl_ref[...]
         pv = pv_ref[...] != 0
 
-    def compute(d, acc):
-        # B columns u -/+ d out of the stripe padded by D:
-        #   left:  Bpad[:, :, D + u - d]  -> block start D + u0 - d
-        #   right: Bpad[:, :, u + d]      -> block start u0 + d
+    def compute(d, acc, B_ref, ladj):
+        # B columns warped by d, out of the stripe padded by `front`:
+        #   left:  start = front + u0 - shift   (shift = d, or d>>1 [+1 odd])
+        #   right: start = u0 + shift
         # Mosaic requires lane-aligned vector loads, so load an aligned
         # 2*BW window and rotate the unaligned remainder into place.
+        shift = (d >> 1) if sub else d
         if right_image:
-            start = u0 + d
+            start = u0 + shift
         else:
-            start = D + u0 - d
+            start = front + u0 - shift - ladj
         base = pl.multiple_of((start >> 7) << 7, 128)
         rem = start - base
         if batched:
@@ -93,10 +118,11 @@ def _kernel(A_ref, B_ref, gm_ref, dlo_ref, dhi_ref, dpl_ref, pv_ref,
             word = gm_ref[d >> 5, :, :]
         gbit = jnp.bitwise_and(
             jax.lax.shift_right_logical(word, jnp.bitwise_and(d, 31)), 1) == 1
+        u_fr = 2 * u if sub else u            # full-res column coordinate
         if right_image:
-            u_warp = u + d
+            u_warp = u_fr + d
         else:
-            u_warp = u - d
+            u_warp = u_fr - d
         warp_ok = (u_warp >= 2) & (u_warp <= W - 3)
         cand = ((gbit & ~in_win) | in_win) & warp_ok
 
@@ -109,25 +135,26 @@ def _kernel(A_ref, B_ref, gm_ref, dlo_ref, dhi_ref, dpl_ref, pv_ref,
         key = ((e + pr + off) * 2 + in_win.astype(jnp.int32)) * 512 + d
         return jnp.minimum(acc, jnp.where(cand, key, _BIG))
 
-    def body(t, acc):
-        # Sparse-d skip: the XLA prep extracts each block's compact list
-        # of active disparities (union of its grid-cell candidates and
-        # plane windows) into SMEM; the loop runs only over that list —
-        # typical KITTI blocks activate <40 of 256 disparities, and a
-        # full 256-iteration cond scan costs more in loop scaffolding
-        # than the active bodies do in vector work.
-        if batched:
-            d = act_ref[0, 0, j, t]
-        else:
-            d = act_ref[0, j, t]
-        return compute(d, acc)
+    # Sparse-d skip: the XLA prep extracts each block's compact list of
+    # active disparities (union of its grid-cell candidates and plane
+    # windows) into SMEM; the loop runs only over that list — typical
+    # KITTI blocks activate <40 of 256 disparities, and a full
+    # 256-iteration cond scan costs more in loop scaffolding than the
+    # active bodies do in vector work.
+    result = jnp.full((BH, BW), _BIG, jnp.int32)
+    for B_ref, act_ref, ladj in loops:
+        def body(t, acc, B_ref=B_ref, act_ref=act_ref, ladj=ladj):
+            if batched:
+                d = act_ref[0, 0, j, t]
+            else:
+                d = act_ref[0, j, t]
+            return compute(d, acc, B_ref, ladj)
 
-    if batched:
-        n_act = act_ref[0, 0, j, D]
-    else:
-        n_act = act_ref[0, j, D]
-    result = jax.lax.fori_loop(
-        0, n_act, body, jnp.full((BH, BW), _BIG, jnp.int32))
+        if batched:
+            n_act = act_ref[0, 0, j, D]
+        else:
+            n_act = act_ref[0, j, D]
+        result = jax.lax.fori_loop(0, n_act, body, result)
     if batched:
         out_ref[0] = result
     else:
@@ -145,6 +172,8 @@ def _scan_pallas_call(shapes, p: ElasParams, W: int, right_image: bool,
     the pallas_call directly proved unreliable on this toolchain)."""
     Hp, Wp = shapes
     D = p.disp_num
+    sub = p.subsampling
+    front = D // 2 if sub else D
     P_tab = p.prior_table()
     off = int(max(512, 1 - int(P_tab.min())))
     radius = p.plane_radius
@@ -152,8 +181,9 @@ def _scan_pallas_call(shapes, p: ElasParams, W: int, right_image: bool,
     batched = batch > 0
 
     kern = functools.partial(
-        _kernel, D=D, W=W, Wp=Wp, off=off, right_image=right_image,
-        prior=prior, radius=radius, batched=batched)
+        _kernel, D=D, W=W, Wp=Wp, front=front, off=off,
+        right_image=right_image, prior=prior, radius=radius,
+        batched=batched, sub=sub)
 
     if batched:
         grid = (batch, Hp // BH, Wp // BW)
@@ -171,60 +201,113 @@ def _scan_pallas_call(shapes, p: ElasParams, W: int, right_image: bool,
     def spec2():
         return bs((BH, BW), lambda i, j: (i, j))
 
+    def b_spec():
+        return bs((4, BH, Wp + front + BW), lambda i, j: (0, i, 0))
+
+    def act_spec():
+        # SMEM blocks need their last two dims equal to the array's, so
+        # each row-stripe gets its full (nbj, D+1) active-list table
+        # (D disparity slots + trailing count) and the kernel indexes it
+        # with program_id(j).
+        return bs((1, Wp // BW, D + 1), lambda i, j: (i, 0, 0), pltpu.SMEM)
+
+    n_b = 2 if sub else 1
+    in_specs = ([bs((16, BH, BW), lambda i, j: (0, i, j))]
+                + [b_spec() for _ in range(n_b)]
+                + [bs((D // 32, BH, BW), lambda i, j: (0, i, j)),
+                   spec2(), spec2(), spec2(), spec2()]
+                + [act_spec() for _ in range(n_b)])
+
+    # Cost hint: the kernel visits only each block's compact active list;
+    # KITTI scenes activate ~25% of D, so scale the dense-loop flop count
+    # (upper bound would be the full D).  Bytes: the A block (16 i32
+    # planes) + the 4 packed-i32 B planes re-read per active d.
+    act_frac = 0.25
+    flops = int(3 * 17 * D * act_frac * Hp * Wp) * max(batch, 1)
+    bytes_acc = (16 * 4 * Hp * Wp
+                 + int(4 * 4 * D * act_frac) * Hp * Wp) * max(batch, 1)
     lead = (batch,) if batched else ()
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            bs((16, BH, BW), lambda i, j: (0, i, j)),
-            bs((4, BH, Wp + D + BW), lambda i, j: (0, i, 0)),
-            bs((D // 32, BH, BW), lambda i, j: (0, i, j)),
-            spec2(), spec2(), spec2(), spec2(),
-            # SMEM blocks need their last two dims equal to the array's,
-            # so each row-stripe gets its full (nbj, D+1) active-list
-            # table (D disparity slots + trailing count) and the kernel
-            # indexes it with program_id(j).
-            bs((1, Wp // BW, D + 1), lambda i, j: (i, 0, 0), pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=spec2(),
         out_shape=jax.ShapeDtypeStruct(lead + (Hp, Wp), jnp.int32),
         cost_estimate=pl.CostEstimate(
-            flops=3 * 17 * D * Hp * Wp * max(batch, 1),
-            bytes_accessed=2 * 16 * Hp * Wp * max(batch, 1),
-            transcendentals=0),
+            flops=flops, bytes_accessed=bytes_acc, transcendentals=0),
         interpret=jax.default_backend() == "cpu",
     )
 
 
-def matching_scan(A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid, act,
-                  p: ElasParams, W: int, right_image: bool) -> jnp.ndarray:
-    """Run the Pallas scan.  All inputs already padded: A (16, Hp, Wp) i32,
-    Bpad (4, Hp, Wp + D) packed i32, act (nbi, nbj, D+1) per-block active
-    disparity lists (front-packed, trailing count);
-    returns key (Hp, Wp) int32.  vmap-compatible: under vmap the custom
-    batching rule dispatches one batched pallas_call with an explicit
-    leading grid dimension."""
-    _, Hp, Wp = A.shape
+def _shard_specs(p: ElasParams, batched: bool):
+    """PartitionSpecs for the kernel's global inputs/output under an active
+    mesh context: batch -> 'stream', (8-row) blocks -> 'tile'.  Every
+    (8, 128) block only touches its own row-stripe, so row sharding needs
+    no halo."""
+    from jax.sharding import PartitionSpec as P
+    _, s_ax, t_ax = mesh_ctx.current()
+    lead = (s_ax,) if batched else ()
+    n_b = 2 if p.subsampling else 1
+    in_specs = ([P(*lead, None, t_ax, None)]              # A
+                + [P(*lead, None, t_ax, None)] * n_b      # B planes
+                + [P(*lead, None, t_ax, None)]            # gm_bits
+                + [P(*lead, t_ax, None)] * 4              # dlo/dhi/dpl/pv
+                + [P(*lead, t_ax, None, None)] * n_b)     # active lists
+    return tuple(in_specs), P(*lead, t_ax, None)
+
+
+def matching_scan(args, p: ElasParams, W: int, right_image: bool,
+                  shapes) -> jnp.ndarray:
+    """Run the Pallas scan.  `args` is the positional input tuple matching
+    the in_specs built by _scan_pallas_call (one B plane + one active list
+    full-res; two of each subsampled).  Returns key (Hp, Wp) int32.
+    vmap-compatible: under vmap the custom batching rule dispatches one
+    batched pallas_call with an explicit leading grid dimension.  Under an
+    active parallel.ctx mesh the call is shard_map'ed (see _shard_specs)."""
+    n_t = mesh_ctx.row_multiple()
+    loc = (shapes[0] // n_t, shapes[1])
 
     @jax.custom_batching.custom_vmap
-    def scan(A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid, act):
-        return _scan_pallas_call((Hp, Wp), p, W, right_image)(
-            A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid, act)
+    def scan(*a):
+        call = _scan_pallas_call(loc, p, W, right_image)
+        if n_t == 1 and mesh_ctx.current() is None:
+            return call(*a)
+        in_s, out_s = _shard_specs(p, batched=False)
+        return mesh_ctx.shard_kernel(call, in_s, out_s, *a)
 
     @scan.def_vmap
-    def scan_vmap(axis_size, in_batched, A, Bpad, gm_bits, d_lo, d_hi,
-                  d_plane, pvalid, act):
-        args = []
-        for x, b in zip((A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid,
-                         act), in_batched):
+    def scan_vmap(axis_size, in_batched, *a):
+        full = []
+        for x, b in zip(a, in_batched):
             if not b:
                 x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-            args.append(x)
-        out = _scan_pallas_call((Hp, Wp), p, W, right_image,
-                                batch=axis_size)(*args)
-        return out, True
+            full.append(x)
+        b_loc = mesh_ctx.batch_split(axis_size)
+        call = _scan_pallas_call(loc, p, W, right_image, batch=b_loc)
+        if mesh_ctx.current() is None:
+            return call(*full), True
+        in_s, out_s = _shard_specs(p, batched=True)
+        return mesh_ctx.shard_kernel(call, in_s, out_s, *full), True
 
-    return scan(A, Bpad, gm_bits, d_lo, d_hi, d_plane, pvalid, act)
+    return scan(*args)
+
+
+def _pack_bytes(x):
+    """(16, H, Wx) u8-valued -> (4, H, Wx) i32, byte j of plane k = x[4k+j]."""
+    shifts4 = np.arange(4, dtype=np.uint32)[None, :, None, None] * 8
+    return jnp.sum(x.astype(jnp.uint32).reshape(4, 4, *x.shape[1:])
+                   << shifts4, axis=1).astype(jnp.int32)
+
+
+def _active_lists(active, D):
+    """(D, nbi, nbj) bool -> (nbi, nbj, D+1) i32 front-packed sorted index
+    list with trailing count."""
+    dall = np.arange(D, dtype=np.int32)[:, None, None]
+    n_act = jnp.sum(active, axis=0).astype(jnp.int32)
+    dlist = jnp.sort(jnp.where(active, dall, np.int32(D)), axis=0)
+    return jnp.concatenate(
+        [jnp.transpose(dlist, (1, 2, 0)), n_act[..., None]],
+        axis=-1).astype(jnp.int32)
 
 
 def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
@@ -243,37 +326,41 @@ def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
     A = desc_self[:, line_rows, :]
     B = desc_other[:, line_rows, :]
     if sub != 1:
-        # Subsampled output lattice: keep every 2nd column of A/aux; B stays
-        # full-width (u - d has either parity), so the kernel's stripe is in
-        # FULL-res columns and we pre-shift by mapping u_out -> 2*u.
-        # Simplest correct route: run at full width and subsample after.
-        pass
+        # Native half-width lattice: A keeps only the even columns; B is
+        # split into even/odd column planes (see module docstring).
+        A = A[:, :, ::2][:, :, :Wo]
 
-    # per-pixel plane quantities (on the full-width lattice, then sliced)
-    tid = jax.lax.slice(tri_id, (0, 0), (H, W), (sub, 1))[:Ho].astype(jnp.int32)
+    # per-pixel plane quantities on the output lattice (tri_id arrives
+    # either full-lattice (H, W) or already on the output lattice)
+    if tri_id.shape == (Ho, Wo):
+        tid = tri_id.astype(jnp.int32)
+    else:
+        tid = jax.lax.slice(tri_id, (0, 0), (H, W),
+                            (sub, sub))[:Ho, :Wo].astype(jnp.int32)
     plq = planes[jnp.clip(tid, 0)]
     a, b, c, a_other = plq[..., 0], plq[..., 1], plq[..., 2], plq[..., 3]
-    uf = np.arange(W, dtype=np.float32)[None, :]
+    uf = u_full.astype(np.float32)[None, :]
     vf = v_full.astype(np.float32)[:, None]
     d_plane = jnp.trunc(a * uf + b * vf + c).astype(jnp.int32)
     d_lo = jnp.maximum(d_plane - p.plane_radius, 0)
     d_hi = jnp.minimum(d_plane + p.plane_radius, D - 1)
     pvalid = ((jnp.abs(a) < 0.7) & (jnp.abs(a_other) < 0.7)).astype(jnp.int32)
 
-    # packed per-pixel candidate-mask words (D//32, Ho, W)
+    # packed per-pixel candidate-mask words (D//32, Ho, Wo)
     gs = p.grid_size
     gm = jnp.repeat(grid_mask, gs, axis=1)[:, :H]
     gm = jnp.repeat(gm, gs, axis=2)[:, :, :W]
-    gm = jax.lax.slice(gm, (0, 0, 0), (D, H, W), (1, sub, 1))[:, :Ho]
+    gm = jax.lax.slice(gm, (0, 0, 0), (D, H, W), (1, sub, sub))[:, :Ho, :Wo]
     nwords = D // 32
-    bits = gm.reshape(nwords, 32, Ho, W).astype(jnp.uint32)
+    bits = gm.reshape(nwords, 32, Ho, Wo).astype(jnp.uint32)
     shifts = np.arange(32, dtype=np.uint32)[None, :, None, None]
     gm_bits = jnp.sum(bits << shifts, axis=1).astype(jnp.int32)
 
-    # pad to (8,128)-aligned grid
-    Hp = _round_up(Ho, BH)
-    Wp = _round_up(W, BW)
-    padHW = ((0, Hp - Ho), (0, Wp - W))
+    # pad to (8,128)-aligned grid; under a mesh context the row blocks must
+    # also split evenly across 'tile' shards
+    Hp = _round_up(Ho, BH * mesh_ctx.row_multiple())
+    Wp = _round_up(Wo, BW)
+    padHW = ((0, Hp - Ho), (0, Wp - Wo))
 
     def pad2(x, fill=0):
         return jnp.pad(x, padHW, constant_values=fill)
@@ -285,23 +372,30 @@ def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
     A_p = jnp.pad(A, ((0, 0),) + padHW)
     A_p = A_p.reshape(4, 4, Hp, Wp).transpose(1, 0, 2, 3) \
              .reshape(16, Hp, Wp).astype(jnp.int32)
-    # extra BW of right padding so the aligned 2*BW rotate-window never
-    # reads out of bounds
-    if right_image:
-        B_p = jnp.pad(B, ((0, 0), (0, Hp - Ho), (0, Wp - W + D + BW)))
+
+    front = D // 2 if sub != 1 else D
+
+    def pad_b(Bx):
+        # zero-pad one B plane to (16, Hp, Wp + front + BW) and pack
+        wb = Bx.shape[2]
+        if right_image:
+            Bx = jnp.pad(Bx, ((0, 0), (0, Hp - Ho),
+                              (0, Wp - wb + front + BW)))
+        else:
+            Bx = jnp.pad(Bx, ((0, 0), (0, Hp - Ho),
+                              (front, Wp - wb + BW)))
+        return _pack_bytes(Bx)
+
+    if sub != 1:
+        b_planes = (pad_b(B[:, :, 0::2]), pad_b(B[:, :, 1::2]))
     else:
-        B_p = jnp.pad(B, ((0, 0), (0, Hp - Ho), (D, Wp - W + BW)))
-    shifts4 = np.arange(4, dtype=np.uint32)[None, :, None, None] * 8
-    B_p = jnp.sum(B_p.astype(jnp.uint32).reshape(4, 4, *B_p.shape[1:])
-                  << shifts4, axis=1).astype(jnp.int32)
+        b_planes = (pad_b(B),)
     gm_p = jnp.pad(gm_bits, ((0, 0),) + padHW)
 
     # Per-block compact active-disparity list: union of the block's
     # grid-cell candidate bits and the span of its plane windows,
-    # extracted into a sorted front-packed index list + count.  The
-    # kernel's d loop runs only over the list (dynamic trip count from
-    # SMEM) — on KITTI scenes that's <40 of 256 disparities, and loop
-    # scaffolding over inactive d was the kernel's dominant cost.
+    # extracted into a sorted front-packed index list + count (split by
+    # disparity parity in subsampled mode, one list per B plane).
     nbi, nbj = Hp // BH, Wp // BW
     gm_blk = jnp.pad(gm, ((0, 0),) + padHW)            # (D, Hp, Wp) bool
     gm_blk = jnp.any(gm_blk.reshape(D, nbi, BH, nbj, BW), axis=(2, 4))
@@ -311,20 +405,22 @@ def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
     hi_blk = jnp.max(hi_p.reshape(nbi, BH, nbj, BW), axis=(1, 3))
     dall = np.arange(D, dtype=np.int32)[:, None, None]
     active = gm_blk | ((dall >= lo_blk[None]) & (dall <= hi_blk[None]))
-    n_act = jnp.sum(active, axis=0).astype(jnp.int32)   # (nbi, nbj)
-    dlist = jnp.sort(jnp.where(active, dall, np.int32(D)), axis=0)
-    act = jnp.concatenate(
-        [jnp.transpose(dlist, (1, 2, 0)), n_act[..., None]],
-        axis=-1).astype(jnp.int32)                      # (nbi, nbj, D+1)
+    if sub != 1:
+        parity = (dall & 1).astype(bool)
+        acts = (_active_lists(active & ~parity, D),
+                _active_lists(active & parity, D))
+    else:
+        acts = (_active_lists(active, D),)
 
     # padded pixels: d_lo > d_hi -> window empty; gm word 0 -> no candidates
-    key = matching_scan(A_p, B_p, gm_p, pad2(d_lo, 1), pad2(d_hi, 0),
-                        pad2(d_plane), pad2(pvalid), act, p, W, right_image)
-    key = key[:Ho, :W]
+    args = (A_p,) + b_planes + (gm_p, pad2(d_lo, 1), pad2(d_hi, 0),
+                                pad2(d_plane), pad2(pvalid)) + acts
+    key = matching_scan(args, p, W, right_image, (Hp, Wp))
+    key = key[:Ho, :Wo]
 
     Ai = A.astype(jnp.int32)
     tex = jnp.sum(jnp.abs(Ai - 128), axis=0)
-    u_out = np.arange(W, dtype=np.int32)[None, :]
+    u_out = u_full.astype(np.int32)[None, :]
     u_ok = (u_out >= 2) & (u_out <= W - 3)
     has_tri = tid >= 0
     visited = has_tri & u_ok & (tex >= p.match_texture)
@@ -332,6 +428,4 @@ def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
     d_best = jnp.mod(key, 512).astype(jnp.float32)
     out = jnp.where(ok, d_best,
                     jnp.where(visited, jnp.float32(-1), jnp.float32(-10)))
-    if sub != 1:
-        out = jax.lax.slice(out, (0, 0), (Ho, W), (1, sub))[:, :Wo]
     return out

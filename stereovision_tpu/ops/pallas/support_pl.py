@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...params import ElasParams
+from ...parallel import ctx as mesh_ctx
 from ..support import (finalize_support, remove_inconsistent,
                        remove_redundant)
 
@@ -142,12 +143,27 @@ def _support_scan(A, B0, d_lo: int, d_hi: int, W: int) -> jnp.ndarray:
     """Run the Pallas scan.  A, B0: (32, Hcp, Wp) i32.  Returns the
     (8, Hcp, Wp) minima stack.  vmap dispatches one batched call with an
     explicit leading grid dimension (vmapping pallas_call directly is
-    unreliable on this toolchain, see matching_pl)."""
+    unreliable on this toolchain, see matching_pl).  Under an active
+    parallel.ctx mesh the call is shard_map'ed — candidate-row stripes are
+    independent, so they shard over 'tile' with no halo."""
+    from jax.sharding import PartitionSpec as P
     _, Hcp, Wp = A.shape
+    n_t = mesh_ctx.row_multiple()
+    loc = (Hcp // n_t, Wp)
+
+    def specs(batched):
+        _, s_ax, t_ax = mesh_ctx.current()
+        lead = (s_ax,) if batched else ()
+        s = P(*lead, None, t_ax, None)
+        return (s, s), s
 
     @jax.custom_batching.custom_vmap
     def scan(A, B0):
-        return _scan_pallas_call((Hcp, Wp), d_lo, d_hi, W)(A, B0)
+        call = _scan_pallas_call(loc, d_lo, d_hi, W)
+        if mesh_ctx.current() is None:
+            return call(A, B0)
+        in_s, out_s = specs(False)
+        return mesh_ctx.shard_kernel(call, in_s, out_s, A, B0)
 
     @scan.def_vmap
     def scan_vmap(axis_size, in_batched, A, B0):
@@ -156,9 +172,12 @@ def _support_scan(A, B0, d_lo: int, d_hi: int, W: int) -> jnp.ndarray:
             if not b:
                 x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
             args.append(x)
-        out = _scan_pallas_call((Hcp, Wp), d_lo, d_hi, W,
-                                batch=axis_size)(*args)
-        return out, True
+        call = _scan_pallas_call(loc, d_lo, d_hi, W,
+                                 batch=mesh_ctx.batch_split(axis_size))
+        if mesh_ctx.current() is None:
+            return call(*args), True
+        in_s, out_s = specs(True)
+        return mesh_ctx.shard_kernel(call, in_s, out_s, *args), True
 
     return scan(A, B0)
 
@@ -182,7 +201,7 @@ def support_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
         # pre-shift so the kernel's carry starts at B(u - d_lo)
         B = jnp.pad(B, ((0, 0), (0, 0), (d_lo, 0)))[:, :, :W]
 
-    Hcp = _round_up(Hc, BH)
+    Hcp = _round_up(Hc, BH * mesh_ctx.row_multiple())
     Wp = _round_up(W, 128)
     pad = ((0, 0), (0, Hcp - Hc), (0, Wp - W))
     out = _support_scan(jnp.pad(A, pad), jnp.pad(B, pad), d_lo, d_hi, W)

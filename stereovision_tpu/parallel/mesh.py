@@ -42,14 +42,44 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(arr, ("stream", "tile"))
 
 
+def init_distributed(coordinator_address: str, num_processes: int,
+                     process_id: int) -> None:
+    """Join the multi-host job: every process calls this once before any
+    other JAX operation (controller-less SPMD — the TPU-native analogue of
+    an MPI init; the reference is strictly single-process, SURVEY.md §5.8).
+    Collectives then ride ICI/DCN on TPU pods and Gloo on CPU test meshes."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def multihost_mesh(stream: Optional[int] = None,
                    tile: Optional[int] = None) -> Mesh:
-    """Multi-host variant: call jax.distributed.initialize() first on every
-    host (controller-less), then build the global mesh over all processes'
-    devices."""
-    if jax.process_count() > 1 or jax.process_index() > 0:
-        pass  # already initialized by the launcher
-    return make_mesh(len(jax.devices()), stream=stream, tile=tile)
+    """Global ('stream', 'tile') mesh over every process's devices.
+
+    Requires init_distributed() (or jax.distributed.initialize) to have run
+    on every process.  The default layout puts whole hosts on 'stream'
+    (frame data parallelism across DCN) and each host's local chips on
+    'tile' (spatial splitting over ICI) — collectives that cross hosts are
+    then only the tiny support-grid gathers, and halo-free row-sharding
+    stays intra-host."""
+    n = len(jax.devices())
+    if stream is None and tile is None:
+        stream = jax.process_count()
+        tile = n // stream
+    return make_mesh(n, stream=stream, tile=tile)
+
+
+def local_batch_indices(global_batch: int, mesh: Mesh) -> np.ndarray:
+    """Batch indices this process owns under P('stream') sharding."""
+    n_s = mesh.shape["stream"]
+    per = global_batch // n_s
+    # which stream rows live on this process
+    mine = sorted({
+        i for i in range(n_s)
+        if any(d.process_index == jax.process_index()
+               for d in np.asarray(mesh.devices)[i].ravel())})
+    return np.concatenate([np.arange(i * per, (i + 1) * per) for i in mine])
 
 
 def spec(mesh: Mesh, *axes) -> NamedSharding:

@@ -27,7 +27,7 @@ def test_dense_matching_matches_oracle():
     eng = ElasEngine(p, width=w, height=h)
     desc1, desc2, d_can = eng._stage_support(jnp.asarray(L), jnp.asarray(R))
     g = eng.host_mid(np.asarray(d_can))
-    tri_l = np.asarray(expand_tri_spans(jnp.asarray(g["tri_l"]), w))
+    tri_l = np.asarray(expand_tri_spans(jnp.asarray(g["tri_l"]), eng.Wo))
 
     grid_l = build_grid_mask(jnp.asarray(g["pts"]), p, w, h, False)
     mine = np.asarray(compute_disparity(

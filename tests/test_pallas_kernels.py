@@ -33,7 +33,7 @@ def test_matching_kernel_matches_xla(sub):
     for right in (False, True):
         tag = "r" if right else "l"
         gm = build_grid_mask(jnp.asarray(g["pts"]), p, w, h, right)
-        tri = expand_tri_spans(jnp.asarray(g["tri_" + tag]), w)
+        tri = expand_tri_spans(jnp.asarray(g["tri_" + tag]), eng.Wo)
         args = ((desc2, desc1) if right else (desc1, desc2)) + (
             tri, jnp.asarray(g["planes_" + tag]),
             gm, p, right)
@@ -42,9 +42,11 @@ def test_matching_kernel_matches_xla(sub):
         assert np.array_equal(Dx, Dp), f"right={right} sub={sub}"
 
 
-def test_matching_kernel_batched_rule():
+@pytest.mark.parametrize("sub", [False, True])
+def test_matching_kernel_batched_rule(sub):
     h, w = 32, 128
-    p = robotics_params(disp_max=31, postprocess_only_left=False)
+    p = robotics_params(disp_max=31, subsampling=sub,
+                        postprocess_only_left=False)
     rng = np.random.default_rng(4)
     L = rng.integers(0, 255, (h, w), dtype=np.uint8)
     R = np.roll(L, -5, axis=1)
@@ -52,7 +54,7 @@ def test_matching_kernel_batched_rule():
     desc1, desc2, d_can = eng._stage_support(jnp.asarray(L), jnp.asarray(R))
     g = eng.host_mid(np.asarray(d_can))
     gm = build_grid_mask(jnp.asarray(g["pts"]), p, w, h, False)
-    tri_l = expand_tri_spans(jnp.asarray(g["tri_l"]), w)
+    tri_l = expand_tri_spans(jnp.asarray(g["tri_l"]), eng.Wo)
 
     single = np.asarray(matching_pl.compute_disparity(
         desc1, desc2, tri_l, jnp.asarray(g["planes_l"]),

@@ -26,21 +26,40 @@ class TestSharded:
         m = make_mesh(8, tile=2)
         assert dict(m.shape) == {"stream": 4, "tile": 2}
 
-    def test_sharded_matches_single_device(self):
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_sharded_matches_single_device(self, use_pallas):
         h, w = 96, 160
         p = robotics_params(disp_max=63, postprocess_only_left=False)
         L, R = _scene(4, h, w)
 
-        single = ElasEngine(p, w, h)
+        single = ElasEngine(p, w, h, use_pallas=use_pallas)
         ref = []
         for i in range(4):
             D1, _ = single.process(L[i], R[i])
             ref.append(np.asarray(D1))
 
         mesh = make_mesh(8, tile=2)
-        pipe = ShardedStereoPipeline(p, w, h, mesh)
+        pipe = ShardedStereoPipeline(p, w, h, mesh, use_pallas=use_pallas)
         D1b, D2b = pipe.run(L, R)
         D1b = np.asarray(D1b)
+        for i in range(4):
+            assert np.array_equal(D1b[i], ref[i]), f"frame {i} differs"
+
+    def test_sharded_pallas_subsampled(self):
+        """Production subsampled config under the mesh: the Pallas kernels
+        (half-width matching with parity-split B planes) per-shard via
+        shard_map, bit-equal to the single-device result."""
+        h, w = 96, 256
+        p = robotics_params(disp_max=63, subsampling=True,
+                            postprocess_only_left=False)
+        L, R = _scene(4, h, w, seed=5)
+
+        single = ElasEngine(p, w, h, use_pallas=True)
+        ref = [np.asarray(single.process(L[i], R[i])[0]) for i in range(4)]
+
+        mesh = make_mesh(8, tile=2)
+        pipe = ShardedStereoPipeline(p, w, h, mesh, use_pallas=True)
+        D1b = np.asarray(pipe.run(L, R)[0])
         for i in range(4):
             assert np.array_equal(D1b[i], ref[i]), f"frame {i} differs"
 
