@@ -18,6 +18,8 @@ setup(
         "low_cost_hardware_accelerated_vision_based_depth_perception_for_real_time_applications_tpu",
     ]),
     package_data={"stereovision_tpu": ["data/*.yml", "data/*.txt",
+                                       "data/calibration/*.yml",
+                                       "data/yolo/*.txt",
                                        "csrc/*.cpp"]},
     install_requires=["jax", "numpy", "scipy"],
     extras_require={"full": ["opencv-python", "requests"]},

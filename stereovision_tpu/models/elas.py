@@ -117,9 +117,13 @@ class ElasEngine:
         self.n_max = min(self.Hc * self.Wc + 6, 6144)
         self.t_max = min(2 * self.n_max + 8, 12288)
         # Triangle spans are encoded on the matching output lattice (half
-        # rows/cols under subsampling), so the run cap scales with Wo.
+        # rows/cols under subsampling).  The run cap must NOT scale down
+        # with the lattice: runs per row are set by triangle-edge crossings
+        # (the triangulation is the same at either lattice), so subsampled
+        # rows hold nearly as many runs as full-res ones (measured 188 at
+        # Wo=621 vs ~210 at W=1242 on KITTI).  Size by full image width.
         self.Ho, self.Wo = params.out_shape(self.width, self.height)
-        self.s_max = max(64, self.Wo // 4)
+        self.s_max = max(64, min(self.width // 4, self.Wo))
         if rasterize is None:
             try:
                 from ..hostlib.raster import rasterize as _native_raster

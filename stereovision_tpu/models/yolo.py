@@ -137,6 +137,13 @@ class YoloV4Tiny:
                    classes_path: Optional[str] = None) -> "YoloV4Tiny":
         sections = (parse_darknet_cfg(cfg_path) if cfg_path
                     else builtin_yolov4_tiny_cfg())
+        if classes_path is None:
+            # packaged class list (same names the reference prints,
+            # data/yolo/classes.txt there); COCO_CLASSES is the fallback
+            import os.path as osp
+            pkg = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                           "data", "yolo", "classes.txt")
+            classes_path = pkg if osp.exists(pkg) else None
         names = COCO_CLASSES
         if classes_path:
             with open(classes_path) as f:

@@ -95,3 +95,63 @@ class TestCli:
         disp = load_pgm(str(out / "tiny_left_disp.pgm"))
         assert disp.shape == (80, 120)
         assert disp.max() > 0
+
+
+class TestPackagedData:
+    """Packaged calibration rigs + YOLO class list (reference data/ parity)."""
+
+    PKG = osp.join(osp.dirname(osp.abspath(__file__)), "..",
+                   "stereovision_tpu", "data")
+    RIGS = ["Kitti_Color", "amrl_jackal_webcam_stereo", "custom",
+            "kitti_2011_09_26", "kitti_for_color", "kitti_for_grayscale",
+            "kitti_gaoxiang12_2017"]
+
+    @pytest.mark.parametrize("rig", RIGS)
+    def test_calibration_loads_and_rectifies(self, rig):
+        from stereovision_tpu.io.calibration import (
+            load_calibration, rectification_from_yaml)
+        path = osp.join(self.PKG, "calibration", rig + ".yml")
+        c = load_calibration(path)
+        for k in ("K1", "K2", "D1", "D2", "R", "T", "XR", "XT"):
+            assert k in c, f"{rig} missing {k}"
+        assert c["K1"].shape == (3, 3) and c["R"].shape == (3, 3)
+        rect = rectification_from_yaml(path, 640, 480, compute_maps=True)
+        assert np.isfinite(rect.Q).all() and rect.Q[3, 2] != 0
+        assert rect.lmap.shape == (480, 640, 2)
+        # rig values must round-trip the reference originals bit-exactly
+        ref = osp.join("/root/reference/data/calibration")
+        for f in os.listdir(ref):
+            if osp.splitext(f)[0] == rig:
+                rc = load_calibration(osp.join(ref, f))
+                for k, v in rc.items():
+                    # shape conventions differ (we store vectors flat)
+                    assert np.array_equal(
+                        np.asarray(c[k], np.float64).reshape(-1),
+                        np.asarray(v, np.float64).reshape(-1)), (rig, k)
+
+    def test_classes_file(self):
+        path = osp.join(self.PKG, "yolo", "classes.txt")
+        names = [l.strip() for l in open(path) if l.strip()]
+        assert len(names) == 80 and names[0] == "person" and "car" in names
+        from stereovision_tpu.models.yolo import YoloV4Tiny
+        m = YoloV4Tiny.from_files()
+        assert m.class_names == names
+
+    def test_live_engine_non_kitti_rig(self):
+        """Engine init + one frame on the AMRL Jackal webcam rig (640x480),
+        the live-mode path with a packaged non-KITTI calibration."""
+        from stereovision_tpu.engine import StereoEngine
+        calib = osp.join(self.PKG, "calibration",
+                         "amrl_jackal_webcam_stereo.yml")
+        eng = StereoEngine(calib, 320, 240)
+        r = np.random.default_rng(3)
+        L = r.integers(0, 255, (240, 320, 3), dtype=np.uint8)
+        R = np.roll(L, 4, axis=1)
+        out = eng.process_frame(L, R)
+        assert out["dmap"].shape == (240, 320)
+        pc = np.asarray(out["points"])
+        assert pc.shape == (240 * 320, 3)
+        # points at valid-disparity pixels must be finite (invalid pixels
+        # reproject to inf through Q, as in the reference)
+        valid = np.asarray(out["dmap"]).reshape(-1) > 0
+        assert valid.any() and np.isfinite(pc[valid]).all()
