@@ -31,7 +31,7 @@ def main():
     a = f_a(jnp.asarray(g1), jnp.asarray(g2))
     dcs = np.asarray(a[2]); gs = list(ex.map(eng.elas.host_mid, [dcs[i] for i in range(B)]))
     st = {k: jnp.asarray(np.stack([g[k] for g in gs])) for k in gs[0]}
-    out = f_tail(a[0], a[1], st["pts"], st["planes_l"], st["planes_r"], st["tri_l"], st["tri_r"])
+    out = f_tail(a[0], a[1], st["pts"], st["tris_l"], st["tris_r"], st["tri_l"], st["tri_r"])
     np.asarray(out[1])
     log("compile+warm: %.0f s" % (time.time()-t0))
     
@@ -48,7 +48,7 @@ def main():
         t4=time.perf_counter()
         st = {kk: jnp.asarray(np.stack([g[kk] for g in gs])) for kk in gs[0]}
         t5=time.perf_counter()
-        out = f_tail(a[0], a[1], st["pts"], st["planes_l"], st["planes_r"], st["tri_l"], st["tri_r"])
+        out = f_tail(a[0], a[1], st["pts"], st["tris_l"], st["tris_r"], st["tri_l"], st["tri_r"])
         t6=time.perf_counter()
         dm = np.asarray(out[1])
         t7=time.perf_counter()
@@ -65,7 +65,7 @@ def main():
     ts=[]
     for _ in range(3):
         t0=time.perf_counter()
-        sync1(f_tail(a[0], a[1], st["pts"], st["planes_l"], st["planes_r"], st["tri_l"], st["tri_r"]))
+        sync1(f_tail(a[0], a[1], st["pts"], st["tris_l"], st["tris_r"], st["tri_l"], st["tri_r"]))
         ts.append(time.perf_counter()-t0)
     log("tail only: %.0f ms/batch" % (1000*min(ts)))
     ts=[]

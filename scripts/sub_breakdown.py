@@ -46,15 +46,15 @@ def main():
     dcs = np.asarray(a[2])
     gs = list(ex.map(eng.elas.host_mid, [dcs[i] for i in range(B)]))
     st = {k: jnp.asarray(np.stack([g[k] for g in gs])) for k in gs[0]}
-    out = f_tail(a[0], a[1], st["pts"], st["planes_l"], st["planes_r"],
+    out = f_tail(a[0], a[1], st["pts"], st["tris_l"], st["tris_r"],
                  st["tri_l"], st["tri_r"])
     np.asarray(out[1])
     log("compile+warm: %.0f s (B=%d)" % (time.time() - t0, B))
 
     for name, fn in (
         ("A", lambda: f_a(jnp.asarray(g1), jnp.asarray(g2))),
-        ("tail", lambda: f_tail(a[0], a[1], st["pts"], st["planes_l"],
-                                st["planes_r"], st["tri_l"], st["tri_r"])),
+        ("tail", lambda: f_tail(a[0], a[1], st["pts"], st["tris_l"],
+                                st["tris_r"], st["tri_l"], st["tri_r"])),
     ):
         ts = []
         for _ in range(4):
@@ -69,6 +69,7 @@ def main():
     from stereovision_tpu.ops.descriptor import compute_descriptor
     from stereovision_tpu.ops.grid import build_grid_mask
     from stereovision_tpu.ops.spans import expand_tri_spans
+    from stereovision_tpu.ops.planes import fit_plane_tables
     from stereovision_tpu.ops import postprocess as post
     p = eng.p
     vm = jax.vmap
@@ -100,14 +101,16 @@ def main():
                   st["pts"])
     tri_r = timeit("expand_spans_r", vm(lambda s: expand_tri_spans(s, eng.elas.Wo)),
                    st["tri_r"])
+    pl_l, _ = jax.vmap(fit_plane_tables)(st["pts"], st["tris_l"])
+    _, pl_r = jax.vmap(fit_plane_tables)(st["pts"], st["tris_r"])
     D1 = timeit("matching_left", vm(
         lambda a_, b_, t_, pm, g_: matching_pl.compute_disparity(
             a_, b_, t_, pm, g_, p, False)),
-        a[0], a[1], tri_l, st["planes_l"], gm_l)
+        a[0], a[1], tri_l, pl_l, gm_l)
     D2 = timeit("matching_right", vm(
         lambda a_, b_, t_, pm, g_: matching_pl.compute_disparity(
             a_, b_, t_, pm, g_, p, True)),
-        a[1], a[0], tri_r, st["planes_r"], gm_r)
+        a[1], a[0], tri_r, pl_r, gm_r)
     D1c, D2c = timeit("lr_check_pl", vm(
         lambda x, y: lr_pl.lr_consistency_check(x, y, p)), D1, D2)
     D1s = timeit("speckle_ccl_pl", vm(

@@ -23,6 +23,7 @@ def main():
 
     from stereovision_tpu.engine import StereoEngine, bgr_to_gray
     from stereovision_tpu.ops.spans import expand_tri_spans
+    from stereovision_tpu.ops.planes import fit_plane_tables
     from stereovision_tpu.ops.grid import build_grid_mask
     from stereovision_tpu.ops.pallas import matching_pl, ccl_pl, lr_pl
     from stereovision_tpu.ops import postprocess as post
@@ -70,14 +71,16 @@ def main():
     gm_r = timeit("grid_mask_r",
                   vm(lambda q: build_grid_mask(q, p, W, H, True)),
                   st["pts"])
+    pl_l, _ = jax.vmap(fit_plane_tables)(st["pts"], st["tris_l"])
+    _, pl_r = jax.vmap(fit_plane_tables)(st["pts"], st["tris_r"])
     D1 = timeit("matching_left", vm(
         lambda a, b, t, pm, g: matching_pl.compute_disparity(
             a, b, t, pm, g, p, False)),
-        desc1, desc2, tri_l, st["planes_l"], gm_l)
+        desc1, desc2, tri_l, pl_l, gm_l)
     D2 = timeit("matching_right", vm(
         lambda a, b, t, pm, g: matching_pl.compute_disparity(
             a, b, t, pm, g, p, True)),
-        desc2, desc1, tri_r, st["planes_r"], gm_r)
+        desc2, desc1, tri_r, pl_r, gm_r)
     D1c, D2c = timeit("lr_check_pl", vm(
         lambda x, y: lr_pl.lr_consistency_check(x, y, p)), D1, D2)
     D1s = timeit("speckle_ccl_pl", vm(

@@ -71,6 +71,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "(reference sv.py:296-331)")
     ap.add_argument("-sw", "--swap", action="store_true",
                     help="Swap left/right cameras in live mode")
+    ap.add_argument("-g", "--display", action="store_true",
+                    help="Show Detections/Disparity windows (reference "
+                         "stereo_vision.cpp:616-620); degrades to "
+                         "render-only on display-less hosts")
+    ap.add_argument("--view3d", action="store_true",
+                    help="Interactive 3D point-cloud window with WASD/RF "
+                         "camera and tracked-object cubes (reference "
+                         "graphing.h viewer); implies --display")
+    ap.add_argument("--record", type=str, default=None,
+                    help="Directory to spool rendered viewer frames to "
+                         "(works headless); implies --display")
     return ap
 
 
@@ -195,6 +206,11 @@ def main(argv=None) -> int:
         detector = YoloV4Tiny.from_files(args.yolo_cfg, args.yolo_weights,
                                          args.yolo_classes)
 
+    viewer = None
+    if args.display or args.view3d or args.record:
+        from .viz_live import LiveViewer
+        viewer = LiveViewer(view3d=args.view3d, record_dir=args.record)
+
     n_frames = args.frames or len(seq)
     frames = (seq[i % len(seq)] for i in range(n_frames))
 
@@ -202,6 +218,7 @@ def main(argv=None) -> int:
         os.makedirs(args.out_dir, exist_ok=True)
 
     def handle(i, out, left):
+        dets, cubes = [], []
         if detector is not None:
             dets = detector.detect(left)
             preds = tracker.get_predicted_boxes()
@@ -213,6 +230,12 @@ def main(argv=None) -> int:
                 for d, xyz in zip(dets, pos):
                     print(f"  {d.name} conf={d.conf:.2f} "
                           f"XYZ=({xyz[0]:.2f},{xyz[1]:.2f},{xyz[2]:.2f})")
+                cubes = [{"center": tuple(xyz), "size": (1.0, 1.0, 1.0),
+                          "color": (0, 255, 255), "label": d.name}
+                         for d, xyz in zip(dets, pos)]
+        if viewer is not None:
+            fps = 1 / max(out["timings"]["t_t"], 1e-9)
+            viewer.show(out, left, dets, fps=fps, cubes=cubes)
         if args.dump == "ply":
             from .viz import save_ply
             save_ply(np.asarray(out["points"]),

@@ -130,8 +130,8 @@ class StereoEngine:
 
     def _run_dense(self, desc1, desc2, g):
         return self._dense_tail(
-            desc1, desc2, jnp.asarray(g["pts"]), jnp.asarray(g["planes_l"]),
-            jnp.asarray(g["planes_r"]), jnp.asarray(g["tri_l"]),
+            desc1, desc2, jnp.asarray(g["pts"]), jnp.asarray(g["tris_l"]),
+            jnp.asarray(g["tris_r"]), jnp.asarray(g["tri_l"]),
             jnp.asarray(g["tri_r"]))
 
     # -- blocking single-frame path -----------------------------------------
@@ -282,8 +282,8 @@ class StereoEngine:
             stacked = {k: jnp.asarray(np.stack([g[k] for g in gs]))
                        for k in gs[0]}
             D1, dmap, points = f_tail(desc1, desc2, stacked["pts"],
-                                      stacked["planes_l"],
-                                      stacked["planes_r"],
+                                      stacked["tris_l"],
+                                      stacked["tris_r"],
                                       stacked["tri_l"], stacked["tri_r"])
             dmaps = np.asarray(dmap) if fetch in ("host", "dmap") else dmap
             t_dmap = time.perf_counter()
@@ -310,19 +310,36 @@ class StereoEngine:
 
         # Threaded pipeline: each batch's tail chain (support-grid fetch ->
         # host geometry -> tail dispatch -> output fetch) runs on a worker
-        # thread, `pipeline_depth` batches in flight; the main thread keeps
-        # the device fed with stage-A dispatches and yields in order.
-        for _ in range(pipeline_depth):
-            nb = next_batch()
-            if nb is not None:
-                pending.append(workers.submit(run_tail, nb))
-        while pending:
-            fut = pending.popleft()
-            done = fut.result()
-            nxt = next_batch()
-            if nxt is not None:
-                pending.append(workers.submit(run_tail, nxt))
-            yield from emit(done)
+        # thread, `pipeline_depth` batches in flight.  Stage A (grayscale
+        # convert + image H2D + dispatch) runs on its own prefetch thread:
+        # the image upload is the single largest transfer (~1 MB/frame
+        # through the tunnel) and must overlap tail processing rather than
+        # serialize the emit loop.
+        prefetch = cf.ThreadPoolExecutor(max_workers=1)
+        state = {"exhausted": False}
+
+        def pump_a():
+            e = next_batch()
+            if e is None:
+                state["exhausted"] = True
+            return e
+
+        a_futs = collections.deque()
+
+        def submit_a():
+            if not state["exhausted"]:
+                a_futs.append(prefetch.submit(pump_a))
+
+        for _ in range(2):
+            submit_a()
+        while a_futs or pending:
+            while a_futs and len(pending) < max(pipeline_depth, 1):
+                e = a_futs.popleft().result()
+                submit_a()
+                if e is not None:
+                    pending.append(workers.submit(run_tail, e))
+            if pending:
+                yield from emit(pending.popleft().result())
 
     # -- object fusion -------------------------------------------------------
 

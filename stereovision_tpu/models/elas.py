@@ -33,7 +33,7 @@ from ..ops.support import support_matches
 from ..ops.grid import build_grid_mask
 from ..ops.matching import compute_disparity
 from ..ops import postprocess as post
-from ..ops.planes import host_geometry
+from ..ops.planes import fit_plane_tables, host_geometry
 from ..ops.spans import encode_tri_spans, expand_tri_spans
 
 
@@ -42,7 +42,7 @@ def host_mid_standalone(d_can: np.ndarray, params: ElasParams, width: int,
                         host_filters: bool = True) -> Dict[str, np.ndarray]:
     """JAX-free host middle stage (picklable; used by process pools).
     Same products as ElasEngine.host_mid.  The triangle-id maps travel as
-    (H, s_max, 2) int16 row spans (ops.spans) — ~3x less H2D than dense."""
+    (H, s_max, 3) uint8 packed row spans (ops.spans) — ~5x less H2D than dense."""
     d_can = np.asarray(d_can)
     if host_filters:
         from ..hostlib.raster import filter_support_sequential
@@ -59,10 +59,13 @@ def host_mid_standalone(d_can: np.ndarray, params: ElasParams, width: int,
     sub = 2 if params.subsampling else 1
     Ho, Wo = params.out_shape(width, height)
     for tag in ("l", "r"):
-        pl = np.zeros((t_max, 4), np.float32)
-        t = min(len(g["planes_" + tag]), t_max)
-        pl[:t] = g["planes_" + tag][:t]
-        out["planes_" + tag] = pl
+        # ship triangle vertex indices (6 B/tri); the device fits the
+        # (T, 4) f32 plane tables itself (ops.planes.fit_plane_tables) —
+        # 2.5x less geometry H2D than shipping the tables
+        tr = np.full((t_max, 3), -1, np.int16)
+        t = min(len(g["tris_" + tag]), t_max)
+        tr[:t] = g["tris_" + tag][:t]
+        out["tris_" + tag] = tr
         tri = g["tri_id_" + tag]
         tri = np.where(tri >= t_max, -1, tri)
         if sub != 1:
@@ -192,10 +195,10 @@ class ElasEngine:
         out = {"pts": pts}
         sub = 2 if self.p.subsampling else 1
         for tag in ("l", "r"):
-            pl = np.zeros((self.t_max, 4), np.float32)
-            t = min(len(g["planes_" + tag]), self.t_max)
-            pl[:t] = g["planes_" + tag][:t]
-            out["planes_" + tag] = pl
+            tr = np.full((self.t_max, 3), -1, np.int16)
+            t = min(len(g["tris_" + tag]), self.t_max)
+            tr[:t] = g["tris_" + tag][:t]
+            out["tris_" + tag] = tr
             tri = g["tri_id_" + tag]
             tri = np.where(tri >= self.t_max, -1, tri)
             if sub != 1:
@@ -209,9 +212,16 @@ class ElasEngine:
     def _stage_dense_impl(self, desc1, desc2, pts, planes_l, planes_r,
                           tri_l, tri_r):
         p = self.p
+        # geometry arrives compact: planes_l/planes_r may be (T, 3) int
+        # triangle VERTEX INDICES (the streaming paths ship those — 2.5x
+        # less H2D) to be fitted into (T, 4) f32 plane tables on device,
+        # or precomputed f32 tables (op-level tests / oracle inputs)
+        if jnp.issubdtype(planes_l.dtype, jnp.integer):
+            planes_l, _ = fit_plane_tables(pts, planes_l)
+            _, planes_r = fit_plane_tables(pts, planes_r)
         # triangle maps arrive as row spans on the output lattice;
         # reconstruct dense on device
-        if tri_l.ndim == 3 and tri_l.shape[-1] == 2:
+        if tri_l.ndim == 3 and tri_l.shape[-1] == 3:
             tri_l = expand_tri_spans(tri_l, self.Wo)
             tri_r = expand_tri_spans(tri_r, self.Wo)
         grid_l = build_grid_mask(pts, p, self.width, self.height,
@@ -264,8 +274,8 @@ class ElasEngine:
         g = self.host_mid(np.asarray(d_can))
         return self._stage_dense(desc1, desc2,
                                  jnp.asarray(g["pts"]),
-                                 jnp.asarray(g["planes_l"]),
-                                 jnp.asarray(g["planes_r"]),
+                                 jnp.asarray(g["tris_l"]),
+                                 jnp.asarray(g["tris_r"]),
                                  jnp.asarray(g["tri_l"]),
                                  jnp.asarray(g["tri_r"]))
 
@@ -273,17 +283,17 @@ class ElasEngine:
 
     def _host_mid_flat(self, d_can):
         g = self.host_mid(np.asarray(d_can))
-        return (g["pts"], g["planes_l"], g["planes_r"],
+        return (g["pts"], g["tris_l"], g["tris_r"],
                 g["tri_l"], g["tri_r"])
 
     @functools.cached_property
     def process_jit(self):
         out_types = (
             jax.ShapeDtypeStruct((self.n_max, 3), np.int16),
-            jax.ShapeDtypeStruct((self.t_max, 4), np.float32),
-            jax.ShapeDtypeStruct((self.t_max, 4), np.float32),
-            jax.ShapeDtypeStruct((self.Ho, self.s_max, 2), np.int16),
-            jax.ShapeDtypeStruct((self.Ho, self.s_max, 2), np.int16),
+            jax.ShapeDtypeStruct((self.t_max, 3), np.int16),
+            jax.ShapeDtypeStruct((self.t_max, 3), np.int16),
+            jax.ShapeDtypeStruct((self.Ho, self.s_max, 3), np.uint8),
+            jax.ShapeDtypeStruct((self.Ho, self.s_max, 3), np.uint8),
         )
 
         def run(I1, I2):

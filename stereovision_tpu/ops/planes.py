@@ -121,6 +121,49 @@ def fit_planes(pts: np.ndarray, tris: np.ndarray) -> Tuple[np.ndarray,
     return left, right
 
 
+def fit_plane_tables(pts, tris):
+    """Device-side plane fit: (N, 3) int support points [u, v, d] +
+    (T, 3) int triangle vertex indices -> (T, 4) f32 table
+    [a, b, c, a_other] (the layout ops.matching consumes).
+
+    Shipping vertex indices (int16, 6 B/triangle) instead of precomputed
+    plane tables (f32, 16 B/triangle) cuts the per-frame geometry H2D by
+    ~2.5x; the fit itself is exact integer Cramer in vertex-0-translated
+    coordinates: every product fits 24 bits, so det/numerators are
+    bit-exact integers and a, b are f32 ratios within 1 ulp of the host
+    f64 path (fit_planes above).  c is reconstructed as d0 - a*u0 - b*v0
+    in f32 (|error| ~1e-4, far below the prior-window granularity).  Negative index rows (padding) yield all-zero planes,
+    matching the host zero padding.  Reference: computeDisparityPlanes,
+    elas.cpp:503-575.
+    """
+    import jax.numpy as jnp
+    tris = tris.astype(jnp.int32)
+    P = jnp.take(pts.astype(jnp.int32), jnp.maximum(tris, 0), axis=0)
+    u, v, d = P[..., 0], P[..., 1], P[..., 2]
+
+    def solve2(uc):
+        # translate by vertex 0: rows [uc'_i, v'_i] @ (a, b) = d_i - d_0
+        u1, u2 = uc[..., 1] - uc[..., 0], uc[..., 2] - uc[..., 0]
+        v1, v2 = v[..., 1] - v[..., 0], v[..., 2] - v[..., 0]
+        d1, d2 = d[..., 1] - d[..., 0], d[..., 2] - d[..., 0]
+        det = u1 * v2 - u2 * v1                     # exact int32
+        ok = det != 0
+        detf = jnp.where(ok, det, 1).astype(jnp.float32)
+        a = jnp.where(ok, (d1 * v2 - d2 * v1).astype(jnp.float32) / detf, 0.0)
+        b = jnp.where(ok, (u1 * d2 - u2 * d1).astype(jnp.float32) / detf, 0.0)
+        c = jnp.where(ok, d[..., 0].astype(jnp.float32)
+                      - a * uc[..., 0].astype(jnp.float32)
+                      - b * v[..., 0].astype(jnp.float32), 0.0)
+        return a, b, c
+
+    al, bl, cl = solve2(u)
+    ar, br, cr = solve2(u - d)
+    valid = (tris[..., 0] >= 0).astype(jnp.float32)[..., None]
+    left = jnp.stack([al, bl, cl, ar], axis=-1) * valid
+    right = jnp.stack([ar, br, cr, al], axis=-1) * valid
+    return left, right
+
+
 def rasterize_tri_ids(pts: np.ndarray, tris: np.ndarray, right_image: bool,
                       width: int, height: int) -> np.ndarray:
     """Scanline-rasterize triangle ids into a dense (H, W) int32 map
@@ -182,9 +225,14 @@ def host_geometry(d_can: np.ndarray, p: ElasParams, width: int, height: int,
 
     Returns dict with:
       pts          (N,3) int32 support points (with corners if add_corners)
+      tris_l/r     (T,3) int32 triangle vertex indices (per-image Delaunay)
       planes_l     (T,4) f32: a,b,c of the left plane + a of the right plane
       planes_r     (T,4) f32: a,b,c of the right plane + a of the left plane
       tri_id_l/r   (H,W) int32 triangle-id maps
+
+    The engine ships pts + tris to the device and fits the plane tables
+    there (fit_plane_tables); the host planes_l/r here remain the f64
+    oracle used by op-level tests.
     """
     step = p.step
     pts = support_points_from_grid(np.asarray(d_can), step)
@@ -199,6 +247,7 @@ def host_geometry(d_can: np.ndarray, p: ElasParams, width: int, height: int,
             planes = np.concatenate([pr, pl[:, :1]], axis=1)
         else:
             planes = np.concatenate([pl, pr[:, :1]], axis=1)
+        out["tris_" + tag] = tris
         out["planes_" + tag] = planes.astype(np.float32)
         out["tri_id_" + tag] = rfn(pts, tris, right, width, height)
     return out

@@ -3,15 +3,24 @@
 The host geometry stage produces dense (H, W) triangle-id maps (the TPU-side
 analogue of the reference's scanline rasterization, elas.cpp:839-941).
 Shipping them dense costs ~1 MB/frame/image over the host<->device link; as
-piecewise-constant row runs they are ~3x smaller (KITTI rows hold ~150 runs,
+piecewise-constant row runs they are ~4x smaller (KITTI rows hold ~150 runs,
 max ~210), and the dense map is reconstructed on device with a scatter plus
 one log-depth associative forward-fill — exact, and far cheaper than the
 transfer it replaces.
 
-Encoding: (H, S, 2) int16 of [start_column, triangle_id], runs in ascending
-start order, padded with [W, -1] (the start W scatters out of bounds and is
-dropped).  Every row's first run starts at column 0, so the forward fill
-never reads an undefined prefix.
+Encoding: (H, S, 3) uint8 of [gap, id_lo, id_hi] — 3 bytes/run:
+  * gap     column delta from the previous run's start (the first run of
+            every row starts at column 0, so its gap is 0); a source gap
+            larger than 255 is split into filler runs that REPEAT the
+            previous id with gap 255 (the repeated scatter is idempotent
+            under the forward fill), so uint8 always suffices
+  * id      little-endian uint16 triangle id; 0xFFFF encodes -1 (no
+            triangle)
+Rows are padded past their last real run with the same repeat-filler
+(gap 255, previous id): the running start quickly leaves [0, W) and the
+device scatter drops it, while any still-in-bounds filler writes a value
+the forward fill would have produced anyway.  Decoding is
+starts = cumsum(gaps); scatter ids at starts; forward-fill.
 """
 
 from __future__ import annotations
@@ -26,12 +35,13 @@ _UNSET = np.int32(-(2 ** 20))
 
 
 def encode_tri_spans(tri: np.ndarray, s_max: int) -> np.ndarray:
-    """Dense (H, W) int triangle-id map -> (H, s_max, 2) int16 spans.
+    """Dense (H, W) int triangle-id map -> (H, s_max, 3) uint8 packed spans.
 
-    Rows with more than s_max runs keep their first s_max (the previous id
-    then persists over the dropped tail — approximate); s_max is sized with
-    ~50% headroom over measured KITTI maxima so this does not trigger in
-    practice, and a warning is emitted if it ever does.
+    Rows with more than s_max runs (including gap-split fillers) keep their
+    first s_max (the previous id then persists over the dropped tail —
+    approximate); s_max is sized with ~50% headroom over measured KITTI
+    maxima so this does not trigger in practice, and a warning is emitted
+    if it ever does.
     """
     tri = np.asarray(tri)
     H, W = tri.shape
@@ -39,30 +49,67 @@ def encode_tri_spans(tri: np.ndarray, s_max: int) -> np.ndarray:
     change[:, 0] = True
     np.not_equal(tri[:, 1:], tri[:, :-1], out=change[:, 1:])
     counts = change.sum(axis=1)
-    if counts.max(initial=0) > s_max:
-        warnings.warn(
-            "tri-span overflow: row has %d runs > s_max=%d; tail runs "
-            "dropped (approximate)" % (int(counts.max()), s_max))
     rows, cols = np.nonzero(change)           # row-major order
     offsets = np.cumsum(counts) - counts
-    k = np.arange(rows.size) - offsets[rows]
-    sel = k < s_max
-    out = np.empty((H, s_max, 2), np.int16)
-    out[..., 0] = W
-    out[..., 1] = -1
-    out[rows[sel], k[sel], 0] = cols[sel]
-    out[rows[sel], k[sel], 1] = tri[rows[sel], cols[sel]]
-    return out
+    k = np.arange(rows.size) - offsets[rows]  # run index within row
+    ids = tri[rows, cols].astype(np.int64)
+
+    # gaps to the previous run's start (first run: col 0, gap 0)
+    gaps = np.empty_like(cols)
+    first = k == 0
+    gaps[first] = cols[first]                 # == 0 by construction
+    gaps[~first] = cols[~first] - cols[np.nonzero(~first)[0] - 1]
+    # split gaps > 255 into repeat-fillers; the fillers PRECEDE their run,
+    # so run k moves to k + (fillers of runs <= k in its row)
+    n_ins = np.maximum(0, (gaps + 254) // 255 - 1)
+    ins_incl = np.cumsum(n_ins)
+    ins_excl = ins_incl - n_ins
+    row_base = ins_excl[offsets[rows]] if rows.size else ins_excl
+    k_new = k + (ins_incl - row_base)
+    gaps_real = gaps - 255 * n_ins            # in [0, 255]
+
+    new_counts = np.zeros(H, np.int64)
+    if rows.size:
+        np.add.at(new_counts, rows, 1 + n_ins)
+    if new_counts.max(initial=0) > s_max:
+        warnings.warn(
+            "tri-span overflow: row has %d runs > s_max=%d; tail runs "
+            "dropped (approximate)" % (int(new_counts.max()), s_max))
+
+    # scatter real runs; everything else starts as filler (gap 255) and
+    # inherits the preceding real run's id via a forward fill over k
+    out_gap = np.full((H, s_max), 255, np.uint8)
+    out_id = np.full((H, s_max), -1, np.int64)
+    is_real = np.zeros((H, s_max), bool)
+    sel = k_new < s_max
+    out_gap[rows[sel], k_new[sel]] = gaps_real[sel]
+    out_id[rows[sel], k_new[sel]] = ids[sel]
+    is_real[rows[sel], k_new[sel]] = True
+    # forward-fill ids across filler slots (vectorized last-seen index)
+    src = np.where(is_real, np.arange(s_max)[None, :], 0)
+    last = np.maximum.accumulate(src, axis=1)
+    out_id = out_id[np.arange(H)[:, None], last]
+
+    u16 = (out_id & 0xFFFF).astype(np.uint16)  # -1 -> 0xFFFF
+    packed = np.empty((H, s_max, 3), np.uint8)
+    packed[..., 0] = out_gap
+    packed[..., 1] = u16 & 0xFF
+    packed[..., 2] = u16 >> 8
+    return packed
 
 
 def expand_tri_spans(spans: jnp.ndarray, width: int) -> jnp.ndarray:
-    """(..., H, S, 2) int16 spans -> (..., H, width) int16 dense map (device).
+    """(..., H, S, 3) uint8 packed spans -> (..., H, width) int16 dense map
+    (device).
 
-    Scatter each run's id at its start column, then forward-fill along the
-    row with an associative scan (combine = "right operand if set").
-    """
-    starts = spans[..., 0].astype(jnp.int32)
-    ids = spans[..., 1].astype(jnp.int32)
+    Cumulative-sum the gaps into start columns, scatter each run's id at
+    its start (out-of-range starts — the padding tail — are dropped), then
+    forward-fill along the row with an associative scan (combine = "right
+    operand if set")."""
+    gaps = spans[..., 0].astype(jnp.int32)
+    v = spans[..., 1].astype(jnp.int32) + 256 * spans[..., 2].astype(jnp.int32)
+    ids = jnp.where(v == 0xFFFF, -1, v)
+    starts = jnp.cumsum(gaps, axis=-1)
     H = spans.shape[-3]
     lead = spans.shape[:-3]
     dense = jnp.full(lead + (H, width), _UNSET, jnp.int32)

@@ -92,7 +92,7 @@ class ShardedStereoPipeline:
         stacked = {k: jnp.asarray(np.stack([g[k] for g in gs]))
                    for k in gs[0]}
         return self.stage_b(desc1, desc2, stacked["pts"],
-                            stacked["planes_l"], stacked["planes_r"],
+                            stacked["tris_l"], stacked["tris_r"],
                             stacked["tri_l"], stacked["tri_r"])
 
     # -- multi-host path ------------------------------------------------------
@@ -129,5 +129,5 @@ class ShardedStereoPipeline:
         geo = {k: self._global(P("stream"), np.stack([g[k] for g in gs]))
                for k in gs[0]}
         return self.stage_b(desc1, desc2, geo["pts"],
-                            geo["planes_l"], geo["planes_r"],
+                            geo["tris_l"], geo["tris_r"],
                             geo["tri_l"], geo["tri_r"])

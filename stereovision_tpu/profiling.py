@@ -119,7 +119,7 @@ def profile_pipeline(engine, left, right, n: int = 3) -> Dict[str, float]:
             g = e.host_mid(np.asarray(d_can))
         with t.section("Matching+Post (device)"):
             args = [jnp.asarray(g[k]) for k in
-                    ("pts", "planes_l", "planes_r", "tri_l", "tri_r")]
+                    ("pts", "tris_l", "tris_r", "tri_l", "tri_r")]
             sync(e._stage_dense(desc1, desc2, *args))
         for k, v in t.sections.items():
             best[k] = min(best.get(k, 1e9), v)

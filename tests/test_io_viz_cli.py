@@ -155,3 +155,27 @@ class TestPackagedData:
         # reproject to inf through Q, as in the reference)
         valid = np.asarray(out["dmap"]).reshape(-1) > 0
         assert valid.any() and np.isfinite(pc[valid]).all()
+
+
+class TestDisplayFlags:
+    def test_parser_display_flags(self):
+        from stereovision_tpu.cli import build_parser
+        args = build_parser().parse_args(["-k", "/tmp/x", "--view3d",
+                                          "--record", "/tmp/r"])
+        assert args.view3d and args.record == "/tmp/r"
+        assert not args.display          # implied at runtime, not parse time
+
+    @pytest.mark.slow
+    def test_record_mode_writes_viewer_frames(self, tmp_path):
+        """Full CLI with --record on a downscaled KITTI loop (headless):
+        the viewer must spool detections/disparity/cloud PNGs."""
+        kitti = "/root/reference/datasets/kitti_mini"
+        if not osp.isdir(kitti):
+            pytest.skip("kitti_mini not available")
+        from stereovision_tpu.cli import main
+        rec = tmp_path / "rec"
+        rc = main(["-k", kitti, "--frames", "1", "-f", "4.0",
+                   "--view3d", "--record", str(rec)])
+        assert rc == 0
+        names = {p.name.split("_")[0] for p in rec.iterdir()}
+        assert {"detections", "disparity", "cloud"} <= names

@@ -11,6 +11,14 @@ from stereovision_tpu.ops.grid import build_grid_mask
 from stereovision_tpu.ops.matching import compute_disparity
 from stereovision_tpu.ops.spans import expand_tri_spans
 from stereovision_tpu.models.elas import ElasEngine
+from stereovision_tpu.ops.planes import fit_plane_tables
+
+def plane_table(g, tag):
+    """(T, 4) f32 plane table from the shipped vertex indices (the same
+    fit the engine performs on device)."""
+    left, right = fit_plane_tables(jnp.asarray(g["pts"]),
+                                   jnp.asarray(g["tris_" + tag]))
+    return left if tag == "l" else right
 
 import oracle
 
@@ -31,7 +39,7 @@ def test_dense_matching_matches_oracle():
 
     grid_l = build_grid_mask(jnp.asarray(g["pts"]), p, w, h, False)
     mine = np.asarray(compute_disparity(
-        desc1, desc2, jnp.asarray(tri_l), jnp.asarray(g["planes_l"]),
+        desc1, desc2, jnp.asarray(tri_l), plane_table(g, "l"),
         grid_l, p, right_image=False))
 
     # oracle: per-pixel findMatch with the same tri/plane/grid inputs
@@ -41,7 +49,7 @@ def test_dense_matching_matches_oracle():
     radius = p.plane_radius
     grid_np = np.asarray(grid_l)      # (D, gh, gw)
     tri = tri_l
-    planes = g["planes_l"]
+    planes = np.asarray(plane_table(g, "l"))
     ref = np.full((h, w), -10.0, np.float32)
     for v in range(h):
         for u in range(w):

@@ -150,3 +150,59 @@ class TestPostprocess:
         o = oracle.median_filter(D, p)
         m = np.asarray(post.median_filter(jnp.asarray(D), p))
         np.testing.assert_allclose(m, o, atol=1e-5)
+
+
+class TestPlaneFit:
+    """Device plane fit (exact-int Cramer, ops.planes.fit_plane_tables) vs
+    the host f64 oracle (ops.planes.fit_planes)."""
+
+    def _geometry(self, seed=0, n=200, w=1242, h=375):
+        import numpy as np
+        from stereovision_tpu.ops.planes import (
+            add_corner_support_points, triangulate)
+        r = np.random.default_rng(seed)
+        pts = np.stack([r.integers(0, w, n), r.integers(0, h, n),
+                        r.integers(0, 256, n)], axis=1).astype(np.int32)
+        pts = add_corner_support_points(pts, w, h)
+        return pts, triangulate(pts, False), triangulate(pts, True)
+
+    def test_matches_host_oracle(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from stereovision_tpu.ops.planes import fit_planes, fit_plane_tables
+        pts, tris_l, tris_r = self._geometry()
+        for tris in (tris_l, tris_r):
+            hl, hr = fit_planes(pts, tris)
+            dl, dr = fit_plane_tables(jnp.asarray(pts), jnp.asarray(tris))
+            dl, dr = np.asarray(dl), np.asarray(dr)
+            # a, b are f32 ratios of exact ints; the host f64 LU path can
+            # land 1 ulp away (and TPU f32 division is reciprocal-based)
+            np.testing.assert_allclose(dl[:, :2], hl[:, :2], rtol=3e-7,
+                                       atol=1e-9)
+            np.testing.assert_allclose(dr[:, :2], hr[:, :2], rtol=3e-7,
+                                       atol=1e-9)
+            np.testing.assert_allclose(dl[:, 3], hr[:, 0], rtol=3e-7,
+                                       atol=1e-9)
+            # c reconstructed in f32: tiny fp divergence allowed
+            np.testing.assert_allclose(dl[:, 2], hl[:, 2], atol=2e-3)
+            np.testing.assert_allclose(dr[:, 2], hr[:, 2], atol=2e-3)
+
+    def test_padding_rows_zero(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from stereovision_tpu.ops.planes import fit_plane_tables
+        pts, tris_l, _ = self._geometry(seed=1)
+        padded = np.full((len(tris_l) + 7, 3), -1, np.int16)
+        padded[:len(tris_l)] = tris_l
+        dl, dr = fit_plane_tables(jnp.asarray(pts), jnp.asarray(padded))
+        assert np.asarray(dl)[len(tris_l):].sum() == 0
+        assert np.asarray(dr)[len(tris_l):].sum() == 0
+
+    def test_degenerate_collinear_zero(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from stereovision_tpu.ops.planes import fit_plane_tables
+        pts = np.array([[0, 0, 5], [10, 0, 7], [20, 0, 9]], np.int32)
+        tris = np.array([[0, 1, 2]], np.int32)
+        dl, dr = fit_plane_tables(jnp.asarray(pts), jnp.asarray(tris))
+        assert np.asarray(dl).sum() == 0 and np.asarray(dr).sum() == 0

@@ -9,10 +9,18 @@ import pytest
 
 from stereovision_tpu.params import robotics_params
 from stereovision_tpu.models.elas import ElasEngine
+from stereovision_tpu.ops.planes import fit_plane_tables
 from stereovision_tpu.ops.grid import build_grid_mask
 from stereovision_tpu.ops import matching
 from stereovision_tpu.ops.spans import expand_tri_spans
 from stereovision_tpu.ops.pallas import matching_pl
+
+def plane_table(g, tag):
+    """(T, 4) f32 plane table from the shipped vertex indices (the same
+    fit the engine performs on device)."""
+    left, right = fit_plane_tables(jnp.asarray(g["pts"]),
+                                   jnp.asarray(g["tris_" + tag]))
+    return left if tag == "l" else right
 
 
 @pytest.mark.parametrize("sub", [False, True])
@@ -35,7 +43,7 @@ def test_matching_kernel_matches_xla(sub):
         gm = build_grid_mask(jnp.asarray(g["pts"]), p, w, h, right)
         tri = expand_tri_spans(jnp.asarray(g["tri_" + tag]), eng.Wo)
         args = ((desc2, desc1) if right else (desc1, desc2)) + (
-            tri, jnp.asarray(g["planes_" + tag]),
+            tri, plane_table(g, tag),
             gm, p, right)
         Dx = np.asarray(matching.compute_disparity(*args))
         Dp = np.asarray(matching_pl.compute_disparity(*args))
@@ -57,7 +65,7 @@ def test_matching_kernel_batched_rule(sub):
     tri_l = expand_tri_spans(jnp.asarray(g["tri_l"]), eng.Wo)
 
     single = np.asarray(matching_pl.compute_disparity(
-        desc1, desc2, tri_l, jnp.asarray(g["planes_l"]),
+        desc1, desc2, tri_l, plane_table(g, "l"),
         gm, p, False))
 
     B = 3
@@ -65,7 +73,7 @@ def test_matching_kernel_batched_rule(sub):
     batched = jax.vmap(
         lambda a, b, t, pm, gmask: matching_pl.compute_disparity(
             a, b, t, pm, gmask, p, False)
-    )(st(desc1), st(desc2), st(tri_l), st(g["planes_l"]), st(gm))
+    )(st(desc1), st(desc2), st(tri_l), st(plane_table(g, "l")), st(gm))
     batched = np.asarray(batched)
     for i in range(B):
         assert np.array_equal(batched[i], single)

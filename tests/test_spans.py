@@ -25,7 +25,7 @@ def test_roundtrip_random_runs():
             pos += ln
     spans, dense = _roundtrip(tri, s_max=W)
     assert np.array_equal(dense, tri)
-    assert spans.dtype == np.int16
+    assert spans.dtype == np.uint8 and spans.shape[-1] == 3
 
 
 def test_roundtrip_degenerate_rows():
@@ -63,3 +63,17 @@ def test_expand_under_vmap():
     spans = np.stack([encode_tri_spans(t, 24) for t in tris])
     out = jax.vmap(lambda s: expand_tri_spans(s, W))(jnp.asarray(spans))
     assert np.array_equal(np.asarray(out), np.stack(tris))
+
+
+def test_large_gaps_split_into_fillers():
+    """Gaps over 255 columns must round-trip exactly via repeat-fillers."""
+    H, W = 3, 1242
+    tri = np.full((H, W), 7, np.int16)
+    tri[0, 0:2] = 3          # run at col 0, then a 2->1240 run of 7s
+    tri[1, 900:] = -1        # 900-col first run
+    tri[2, :] = -1           # empty row
+    spans = encode_tri_spans(tri, s_max=32)
+    dense = np.asarray(expand_tri_spans(jnp.asarray(spans), W))
+    assert np.array_equal(dense, tri)
+    # all gaps fit uint8 by construction
+    assert spans[..., 0].max() <= 255
