@@ -28,10 +28,12 @@ def main():
         return g1, g2
     t0=time.time()
     g1, g2 = make_batch(0)
-    a = f_a(jnp.asarray(g1), jnp.asarray(g2))
+    a = f_a(jnp.asarray(np.stack([g1, g2], axis=1)))
     dcs = np.asarray(a[2]); gs = list(ex.map(eng.elas.host_mid, [dcs[i] for i in range(B)]))
-    st = {k: jnp.asarray(np.stack([g[k] for g in gs])) for k in gs[0]}
-    out = f_tail(a[0], a[1], st["pts"], st["tris_l"], st["tris_r"], st["tri_l"], st["tri_r"])
+    st = {k: jnp.asarray(np.stack([g[k] for g in gs]))
+          for k in gs[0]}
+    bufs = jnp.asarray(np.stack([eng.elas.pack_geometry(g) for g in gs]))
+    out = f_tail(a[0], a[1], bufs)
     np.asarray(out[1])
     log("compile+warm: %.0f s" % (time.time()-t0))
     
@@ -40,15 +42,16 @@ def main():
         t0=time.perf_counter()
         g1, g2 = make_batch(k)
         t1=time.perf_counter()
-        a = f_a(jnp.asarray(g1), jnp.asarray(g2))
+        a = f_a(jnp.asarray(np.stack([g1, g2], axis=1)))
         t2=time.perf_counter()
         dcs = np.asarray(a[2])
         t3=time.perf_counter()
         gs = list(ex.map(eng.elas.host_mid, [dcs[i] for i in range(B)]))
         t4=time.perf_counter()
-        st = {kk: jnp.asarray(np.stack([g[kk] for g in gs])) for kk in gs[0]}
+        bufs = jnp.asarray(np.stack([eng.elas.pack_geometry(g)
+                                     for g in gs]))
         t5=time.perf_counter()
-        out = f_tail(a[0], a[1], st["pts"], st["tris_l"], st["tris_r"], st["tri_l"], st["tri_r"])
+        out = f_tail(a[0], a[1], bufs)
         t6=time.perf_counter()
         dm = np.asarray(out[1])
         t7=time.perf_counter()
@@ -65,12 +68,12 @@ def main():
     ts=[]
     for _ in range(3):
         t0=time.perf_counter()
-        sync1(f_tail(a[0], a[1], st["pts"], st["tris_l"], st["tris_r"], st["tri_l"], st["tri_r"]))
+        sync1(f_tail(a[0], a[1], bufs))
         ts.append(time.perf_counter()-t0)
     log("tail only: %.0f ms/batch" % (1000*min(ts)))
     ts=[]
     for _ in range(3):
-        t0=time.perf_counter(); sync1(f_a(jnp.asarray(g1), jnp.asarray(g2))); ts.append(time.perf_counter()-t0)
+        t0=time.perf_counter(); sync1(f_a(jnp.asarray(np.stack([g1, g2], axis=1)))); ts.append(time.perf_counter()-t0)
     log("A only: %.0f ms/batch" % (1000*min(ts)))
     
     # end-to-end best

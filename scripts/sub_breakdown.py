@@ -42,19 +42,19 @@ def main():
 
     t0 = time.time()
     g1, g2 = make_batch(0)
-    a = f_a(jnp.asarray(g1), jnp.asarray(g2))
+    a = f_a(jnp.asarray(np.stack([g1, g2], axis=1)))
     dcs = np.asarray(a[2])
     gs = list(ex.map(eng.elas.host_mid, [dcs[i] for i in range(B)]))
-    st = {k: jnp.asarray(np.stack([g[k] for g in gs])) for k in gs[0]}
-    out = f_tail(a[0], a[1], st["pts"], st["tris_l"], st["tris_r"],
-                 st["tri_l"], st["tri_r"])
+    st = {k: jnp.asarray(np.stack([g[k] for g in gs]))
+          for k in gs[0]}
+    bufs = jnp.asarray(np.stack([eng.elas.pack_geometry(g) for g in gs]))
+    out = f_tail(a[0], a[1], bufs)
     np.asarray(out[1])
     log("compile+warm: %.0f s (B=%d)" % (time.time() - t0, B))
 
     for name, fn in (
-        ("A", lambda: f_a(jnp.asarray(g1), jnp.asarray(g2))),
-        ("tail", lambda: f_tail(a[0], a[1], st["pts"], st["tris_l"],
-                                st["tris_r"], st["tri_l"], st["tri_r"])),
+        ("A", lambda: f_a(jnp.asarray(np.stack([g1, g2], axis=1)))),
+        ("tail", lambda: f_tail(a[0], a[1], bufs)),
     ):
         ts = []
         for _ in range(4):

@@ -22,7 +22,7 @@ def run_sweep(kitti_path: str, calib: str,
               subsampling: Iterable[bool] = (False, True),
               configs: Iterable[str] = ("batched",),
               batch: int = 8,
-              n_frames: int = 21,
+              n_frames: int = 84,
               out_csv: Optional[str] = None) -> List[dict]:
     import cv2
     from ..engine import StereoEngine
@@ -43,17 +43,22 @@ def run_sweep(kitti_path: str, calib: str,
                 def frames(n):
                     for i in range(n):
                         yield imgs[i % len(imgs)]
+                # subsampled batch-8 is slower than 4 on this toolchain
+                # (docs/KNOWN_ISSUES.md) — mirror bench.py's default
+                b = min(batch, 4) if sub else batch
                 try:
                     if config == "batched":
-                        for _ in eng.stream_batched(frames(batch),
-                                                    batch=batch,
-                                                    fetch="dmap"):
+                        for _ in eng.stream_batched(frames(4 * b),
+                                                    batch=b,
+                                                    fetch="dmap",
+                                                    pipeline_depth=3):
                             pass
                         t0 = time.time()
                         n = 0
                         for _ in eng.stream_batched(frames(n_frames),
-                                                    batch=batch,
-                                                    fetch="dmap"):
+                                                    batch=b,
+                                                    fetch="dmap",
+                                                    pipeline_depth=3):
                             n += 1
                         fps = n / (time.time() - t0)
                     else:
@@ -82,6 +87,13 @@ def run_sweep(kitti_path: str, calib: str,
 
 if __name__ == "__main__":
     import argparse
+    import os
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR",
+                                     "/root/.cache/jax_sv"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     ap = argparse.ArgumentParser()
     ap.add_argument("--kitti", default="/root/reference/datasets/kitti_mini")
     ap.add_argument("--calib", default=None)

@@ -216,11 +216,22 @@ class StereoEngine:
 
     @property
     def _batched_fns(self):
+        """(f_a, f_tail) for the batched path.  Inputs are packed to
+        minimize host->device dispatches through high-latency links:
+        f_a takes ONE (B, 2, H, W) stacked image pair array; f_tail takes
+        ONE (B, nbytes) uint8 geometry buffer (ElasEngine.pack_geometry)
+        next to the device-resident descriptors."""
         if not hasattr(self, "_batched_cache"):
             e = self.elas
+
+            def tail_from_buf(desc1, desc2, buf):
+                return self._dense_tail_impl(desc1, desc2,
+                                             *e.unpack_geometry(buf))
+
             self._batched_cache = (
-                jax.jit(jax.vmap(e._stage_support_impl)),
-                jax.jit(jax.vmap(self._dense_tail_impl)),
+                jax.jit(jax.vmap(lambda pair: e._stage_support_impl(
+                    pair[0], pair[1]))),
+                jax.jit(jax.vmap(tail_from_buf)),
             )
         return self._batched_cache
 
@@ -255,10 +266,10 @@ class StereoEngine:
             n_real = len(fs)
             while len(fs) < batch:      # pad short tail batch
                 fs.append(fs[-1])
-            g1 = np.stack([bgr_to_gray(l) for l, _ in fs])
-            g2 = np.stack([bgr_to_gray(r) for _, r in fs])
+            pairs = np.stack([[bgr_to_gray(l), bgr_to_gray(r)]
+                              for l, r in fs])       # (B, 2, H, W): 1 H2D
             t0 = time.perf_counter()
-            out = f_a(jnp.asarray(g1), jnp.asarray(g2))
+            out = f_a(jnp.asarray(pairs))
             return (t0, n_real, out)
 
         host_mode = {"mode": host_workers}
@@ -279,12 +290,9 @@ class StereoEngine:
             if gs is None:
                 gs = list(ex.map(self.elas.host_mid, [dcs[i] for i in
                                  range(dcs.shape[0])]))
-            stacked = {k: jnp.asarray(np.stack([g[k] for g in gs]))
-                       for k in gs[0]}
-            D1, dmap, points = f_tail(desc1, desc2, stacked["pts"],
-                                      stacked["tris_l"],
-                                      stacked["tris_r"],
-                                      stacked["tri_l"], stacked["tri_r"])
+            bufs = jnp.asarray(np.stack(
+                [self.elas.pack_geometry(g) for g in gs]))   # 1 H2D
+            D1, dmap, points = f_tail(desc1, desc2, bufs)
             dmaps = np.asarray(dmap) if fetch in ("host", "dmap") else dmap
             t_dmap = time.perf_counter()
             pts_np = (np.asarray(points) if fetch == "host" else points)

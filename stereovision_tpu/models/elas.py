@@ -207,6 +207,51 @@ class ElasEngine:
             out["tri_" + tag] = encode_tri_spans(tri, self.s_max)
         return out
 
+    # ---- packed geometry transport -----------------------------------------
+    #
+    # The five per-frame geometry arrays (pts, tris_l/r, span-coded
+    # tri_l/r) are small but each jnp.asarray is a separate host->device
+    # dispatch; through a high-latency link (the axon tunnel pays ~10-25 ms
+    # per transfer) that fixed cost dominates the bytes.  Pack them into
+    # ONE uint8 buffer on the host and unpack on device with bitcasts
+    # (free — XLA folds them into the consumers).
+
+    @functools.cached_property
+    def _geo_layout(self):
+        segs = [("pts", (self.n_max, 3), np.int16),
+                ("tris_l", (self.t_max, 3), np.int16),
+                ("tris_r", (self.t_max, 3), np.int16),
+                ("tri_l", (self.Ho, self.s_max, 3), np.uint8),
+                ("tri_r", (self.Ho, self.s_max, 3), np.uint8)]
+        layout, off = [], 0
+        for name, shape, dt in segs:
+            nbytes = int(np.prod(shape)) * np.dtype(dt).itemsize
+            layout.append((name, shape, dt, off, nbytes))
+            off += nbytes
+        return layout, off
+
+    def pack_geometry(self, g: Dict[str, np.ndarray]) -> np.ndarray:
+        """host_mid dict -> one (nbytes,) uint8 buffer."""
+        layout, total = self._geo_layout
+        buf = np.empty(total, np.uint8)
+        for name, shape, dt, off, nbytes in layout:
+            buf[off:off + nbytes] = np.ascontiguousarray(
+                g[name], dtype=dt).view(np.uint8).ravel()
+        return buf
+
+    def unpack_geometry(self, buf):
+        """(nbytes,) uint8 device buffer -> (pts, tris_l, tris_r, tri_l,
+        tri_r) jnp views (static slices + bitcasts)."""
+        layout, _ = self._geo_layout
+        out = []
+        for name, shape, dt, off, nbytes in layout:
+            seg = jax.lax.slice_in_dim(buf, off, off + nbytes)
+            if np.dtype(dt).itemsize > 1:
+                seg = jax.lax.bitcast_convert_type(
+                    seg.reshape(-1, np.dtype(dt).itemsize), jnp.dtype(dt))
+            out.append(seg.reshape(shape))
+        return tuple(out)
+
     # ---- device stage B ---------------------------------------------------
 
     def _stage_dense_impl(self, desc1, desc2, pts, planes_l, planes_r,

@@ -76,19 +76,27 @@ def encode_tri_spans(tri: np.ndarray, s_max: int) -> np.ndarray:
             "tri-span overflow: row has %d runs > s_max=%d; tail runs "
             "dropped (approximate)" % (int(new_counts.max()), s_max))
 
-    # scatter real runs; everything else starts as filler (gap 255) and
-    # inherits the preceding real run's id via a forward fill over k
+    # scatter real runs; filler slots (gap 255) repeat the preceding run's
+    # id.  The padding tail's preceding run is simply the row's LAST run
+    # (= tri[:, -1]), so initialize every slot with that; the rare
+    # mid-row fillers of >255-column gaps are scattered explicitly.
     out_gap = np.full((H, s_max), 255, np.uint8)
-    out_id = np.full((H, s_max), -1, np.int64)
-    is_real = np.zeros((H, s_max), bool)
+    out_id = np.broadcast_to(tri[:, -1:].astype(np.int64),
+                             (H, s_max)).copy()
     sel = k_new < s_max
     out_gap[rows[sel], k_new[sel]] = gaps_real[sel]
     out_id[rows[sel], k_new[sel]] = ids[sel]
-    is_real[rows[sel], k_new[sel]] = True
-    # forward-fill ids across filler slots (vectorized last-seen index)
-    src = np.where(is_real, np.arange(s_max)[None, :], 0)
-    last = np.maximum.accumulate(src, axis=1)
-    out_id = out_id[np.arange(H)[:, None], last]
+    big = np.nonzero(n_ins > 0)[0]            # flat run indices (never k=0)
+    if big.size:
+        n = n_ins[big]
+        rep = np.repeat(big, n)
+        # slot offsets 1..n within each filler group, placed just before
+        # the run they split
+        offs = np.arange(rep.size) - np.repeat(np.cumsum(n) - n, n)
+        kf = np.repeat(k_new[big] - n, n) + offs
+        fsel = kf < s_max
+        out_gap[np.repeat(rows[big], n)[fsel], kf[fsel]] = 255
+        out_id[np.repeat(rows[big], n)[fsel], kf[fsel]] = ids[rep[fsel] - 1]
 
     u16 = (out_id & 0xFFFF).astype(np.uint16)  # -1 -> 0xFFFF
     packed = np.empty((H, s_max, 3), np.uint8)

@@ -77,3 +77,23 @@ def test_large_gaps_split_into_fillers():
     assert np.array_equal(dense, tri)
     # all gaps fit uint8 by construction
     assert spans[..., 0].max() <= 255
+
+
+def test_packed_geometry_roundtrip():
+    """ElasEngine.pack_geometry/unpack_geometry: one uint8 H2D buffer must
+    reproduce the five geometry arrays bit-exactly (incl. negative int16
+    padding through the device bitcast)."""
+    from stereovision_tpu.params import robotics_params
+    from stereovision_tpu.models.elas import ElasEngine
+    p = robotics_params(disp_max=31)
+    eng = ElasEngine(p, width=96, height=64)
+    rng = np.random.default_rng(5)
+    L = rng.integers(0, 255, (64, 96), dtype=np.uint8)
+    R = np.roll(L, -4, axis=1)
+    _, _, d_can = eng._stage_support(jnp.asarray(L), jnp.asarray(R))
+    g = eng.host_mid(np.asarray(d_can))
+    buf = eng.pack_geometry(g)
+    out = eng.unpack_geometry(jnp.asarray(buf))
+    for name, arr in zip(("pts", "tris_l", "tris_r", "tri_l", "tri_r"),
+                         out):
+        assert np.array_equal(np.asarray(arr), g[name]), name
