@@ -46,6 +46,11 @@ def run_sweep(kitti_path: str, calib: str,
                 # subsampled batch-8 is slower than 4 on this toolchain
                 # (docs/KNOWN_ISSUES.md) — mirror bench.py's default
                 b = min(batch, 4) if sub else batch
+                # the matching stage's per-pixel candidate volume scales
+                # with W*H*D; cap the batch so total HBM stays near the
+                # known-good full-res footprint (batch 8 at 1242x375)
+                ref_px = 1242 * 375
+                b = max(1, min(b, b * ref_px // (W * H)))
                 try:
                     if config == "batched":
                         for _ in eng.stream_batched(frames(4 * b),

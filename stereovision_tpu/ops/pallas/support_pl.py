@@ -185,8 +185,16 @@ def _support_scan(A, B0, d_lo: int, d_hi: int, W: int) -> jnp.ndarray:
 def support_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
                     p: ElasParams, apply_filters: bool = True) -> jnp.ndarray:
     """Drop-in replacement for ops.support.support_matches using the Pallas
-    scan kernel (same outputs)."""
+    scan kernel (same outputs).
+
+    The kernel keeps full-width 32-plane row stripes in VMEM; very wide
+    frames (scale < ~0.7, W > ~1900) exceed the ~16 MB scoped budget
+    (measured: Wp=2560 requests 18.2 MB), so those fall back to the XLA
+    formulation (identical results)."""
     _, H, W = desc1.shape
+    if _round_up(W, 128) > 1920:
+        from ..support import support_matches as xla_support
+        return xla_support(desc1, desc2, p, apply_filters=apply_filters)
     step = p.step
     Hc = -(-H // step)
     d_lo = max(p.disp_min, 0)
