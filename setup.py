@@ -19,7 +19,7 @@ setup(
     ]),
     package_data={"stereovision_tpu": ["data/*.yml", "data/*.txt",
                                        "data/calibration/*.yml",
-                                       "data/yolo/*.txt",
+                                       "data/yolo/*.txt", "data/yolo/*.cfg",
                                        "csrc/*.cpp"]},
     install_requires=["jax", "numpy", "scipy"],
     extras_require={"full": ["opencv-python", "requests"]},

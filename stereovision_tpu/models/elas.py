@@ -51,7 +51,8 @@ def host_mid_standalone(d_can: np.ndarray, params: ElasParams, width: int,
         from ..hostlib.raster import rasterize as rfn
     except Exception:
         rfn = None
-    g = host_geometry(d_can, params, width, height, rasterize=rfn)
+    g = host_geometry(d_can, params, width, height, rasterize=rfn,
+                      n_cap=n_max)
     pts = np.full((n_max, 3), -1, np.int16)
     n = min(len(g["pts"]), n_max)
     pts[:n] = g["pts"][:n]
@@ -112,13 +113,16 @@ class ElasEngine:
         self.Hc = -(-self.height // step)
         self.Wc = -(-self.width // step)
         # Static padding caps for the host-geometry arrays.  The grid has
-        # Hc*Wc cells but the support filters keep only a few thousand
-        # points in practice (~2.2k on KITTI, measured); the caps bound H2D
-        # transfer size and are guarded (with truncation + warning) in
-        # host_mid.  s_max bounds triangle runs per image row (~210 measured
-        # on KITTI at width 1242; scales with width).
-        self.n_max = min(self.Hc * self.Wc + 6, 6144)
-        self.t_max = min(2 * self.n_max + 8, 12288)
+        # Hc*Wc cells; the support filters keep ~2.2k points on KITTI but
+        # up to 6.5k on dense-texture Middlebury pairs (raindeer 6480,
+        # aloe 6204 measured) — 8192 covers every measured scene with 26%
+        # headroom.  Pathological overflow is thinned UNIFORMLY on the
+        # host BEFORE triangulation (host_geometry n_cap), keeping the
+        # shipped triangle vertex indices consistent with the pts pad.
+        # s_max bounds triangle runs per image row (~210 measured on
+        # KITTI at width 1242; scales with width).
+        self.n_max = min(self.Hc * self.Wc + 6, 8192)
+        self.t_max = 2 * self.n_max + 8
         # Triangle spans are encoded on the matching output lattice (half
         # rows/cols under subsampling).  The run cap must NOT scale down
         # with the lattice: runs per row are set by triangle-edge crossings
@@ -185,12 +189,9 @@ class ElasEngine:
             from ..hostlib.raster import filter_support_sequential
             d_can = filter_support_sequential(d_can, self.p)
         g = host_geometry(d_can, self.p, self.width, self.height,
-                          rasterize=self._rasterize)
+                          rasterize=self._rasterize, n_cap=self.n_max)
         pts = np.full((self.n_max, 3), -1, np.int16)
         n = min(len(g["pts"]), self.n_max)
-        if len(g["pts"]) > self.n_max:
-            import warnings
-            warnings.warn("support points truncated to n_max=%d" % self.n_max)
         pts[:n] = g["pts"][:n]
         out = {"pts": pts}
         sub = 2 if self.p.subsampling else 1

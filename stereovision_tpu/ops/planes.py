@@ -19,7 +19,7 @@ Reference equivalents:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -220,8 +220,15 @@ def rasterize_tri_ids(pts: np.ndarray, tris: np.ndarray, right_image: bool,
 
 
 def host_geometry(d_can: np.ndarray, p: ElasParams, width: int, height: int,
-                  rasterize=None):
+                  rasterize=None, n_cap: Optional[int] = None):
     """Full host-side middle stage: support grid -> geometry products.
+
+    n_cap: optional hard cap on support points (the engine's static pad
+    size).  Overflow is thinned UNIFORMLY before triangulation, so every
+    downstream product (triangles, planes, rasterization, grid) stays
+    consistent with the shipped point list — a tail truncation after
+    triangulation would leave triangle vertex indices dangling past the
+    device-side pts pad.
 
     Returns dict with:
       pts          (N,3) int32 support points (with corners if add_corners)
@@ -236,6 +243,12 @@ def host_geometry(d_can: np.ndarray, p: ElasParams, width: int, height: int,
     """
     step = p.step
     pts = support_points_from_grid(np.asarray(d_can), step)
+    if n_cap is not None and len(pts) > n_cap - 6:
+        import warnings
+        keep = n_cap - 6
+        warnings.warn("support points thinned: %d -> %d (n_max=%d)"
+                      % (len(pts), keep, n_cap))
+        pts = pts[np.arange(keep) * len(pts) // keep]
     if p.add_corners:
         pts = add_corner_support_points(pts, width, height)
     rfn = rasterize or rasterize_tri_ids

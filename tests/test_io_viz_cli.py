@@ -179,3 +179,11 @@ class TestDisplayFlags:
         assert rc == 0
         names = {p.name.split("_")[0] for p in rec.iterdir()}
         assert {"detections", "disparity", "cloud"} <= names
+
+    def test_packaged_yolo_cfg_roundtrip(self):
+        """data/yolo/yolov4-tiny.cfg must parse to exactly the builtin
+        topology (the file is emitted from it)."""
+        from stereovision_tpu.models.yolo import (
+            builtin_yolov4_tiny_cfg, parse_darknet_cfg)
+        path = osp.join(TestPackagedData.PKG, "yolo", "yolov4-tiny.cfg")
+        assert parse_darknet_cfg(path) == builtin_yolov4_tiny_cfg()
