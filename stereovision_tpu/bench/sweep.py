@@ -24,7 +24,6 @@ def run_sweep(kitti_path: str, calib: str,
               batch: int = 8,
               n_frames: int = 84,
               out_csv: Optional[str] = None) -> List[dict]:
-    import cv2
     from ..engine import StereoEngine
 
     rows = []

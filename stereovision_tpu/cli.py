@@ -16,7 +16,6 @@ import argparse
 import os
 import os.path as osp
 import sys
-import time
 
 import numpy as np
 

@@ -95,6 +95,43 @@ class StereoEngine:
         # whole back half of the frame.
         self._dense_tail = jax.jit(self._dense_tail_impl)
         self.timings: Dict[str, float] = {}
+        self._executors = None
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def _get_executors(self, batch: int, pipeline_depth: int):
+        """Lazily-created, engine-owned thread pools for stream_batched
+        (reused across calls; shut down by close() — reference clean(),
+        stereo_vision.cpp:105-114)."""
+        import concurrent.futures as cf
+        need = max(pipeline_depth, 1)
+        if self._executors is not None and self._executors[3] < need:
+            for e in self._executors[:3]:
+                e.shutdown(wait=False, cancel_futures=True)
+            self._executors = None
+        if self._executors is None:
+            self._executors = (
+                cf.ThreadPoolExecutor(max_workers=min(max(batch, 1), 8)),
+                cf.ThreadPoolExecutor(max_workers=need),
+                cf.ThreadPoolExecutor(max_workers=1),
+                need)
+        return self._executors[:3]
+
+    def close(self):
+        """Release worker threads and host geometry processes.  Idempotent;
+        the engine remains usable (pools are re-created on demand)."""
+        if self._executors is not None:
+            for e in self._executors[:3]:
+                e.shutdown(wait=True, cancel_futures=True)
+            self._executors = None
+        self.elas.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     # -- device tail: display disparity + cloud -----------------------------
 
@@ -247,10 +284,9 @@ class StereoEngine:
         output fetch) runs on `pipeline_depth` worker threads, so host work
         and transfers of one batch overlap device execution of another.
         Yields per-frame results in order."""
-        import concurrent.futures as cf
+        import warnings as _warnings
         f_a, f_tail = self._batched_fns
-        ex = cf.ThreadPoolExecutor(max_workers=min(batch, 8))
-        workers = cf.ThreadPoolExecutor(max_workers=max(pipeline_depth, 1))
+        ex, workers, prefetch = self._get_executors(batch, pipeline_depth)
         it = iter(frames)
         pending = collections.deque()
 
@@ -290,6 +326,11 @@ class StereoEngine:
             if gs is None:
                 gs = list(ex.map(self.elas.host_mid, [dcs[i] for i in
                                  range(dcs.shape[0])]))
+            # surface warnings captured inside pool subprocesses (support
+            # thinning / span overflow — otherwise silent accuracy loss)
+            for g in gs:
+                for msg in g.get("warnings", ()):
+                    _warnings.warn("host geometry worker: " + msg)
             bufs = jnp.asarray(np.stack(
                 [self.elas.pack_geometry(g) for g in gs]))   # 1 H2D
             D1, dmap, points = f_tail(desc1, desc2, bufs)
@@ -323,7 +364,6 @@ class StereoEngine:
         # the image upload is the single largest transfer (~1 MB/frame
         # through the tunnel) and must overlap tail processing rather than
         # serialize the emit loop.
-        prefetch = cf.ThreadPoolExecutor(max_workers=1)
         state = {"exhausted": False}
 
         def pump_a():
@@ -408,4 +448,9 @@ class StereoVision:
         return res["points"].astype(np.float64)
 
     def __del__(self):
-        pass
+        # reference clean() (stereo_vision.cpp:105-114): release worker
+        # threads/processes when the wrapper object dies
+        try:
+            self.engine.close()
+        except Exception:
+            pass

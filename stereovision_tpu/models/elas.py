@@ -41,8 +41,23 @@ def host_mid_standalone(d_can: np.ndarray, params: ElasParams, width: int,
                         height: int, n_max: int, t_max: int, s_max: int,
                         host_filters: bool = True) -> Dict[str, np.ndarray]:
     """JAX-free host middle stage (picklable; used by process pools).
-    Same products as ElasEngine.host_mid.  The triangle-id maps travel as
-    (H, s_max, 3) uint8 packed row spans (ops.spans) — ~5x less H2D than dense."""
+    Same products as ElasEngine.host_mid, plus a "warnings" entry: warnings
+    raised here (support thinning, span overflow — the silent-accuracy
+    channels) would otherwise vanish inside pool subprocesses, so they are
+    captured and re-raised parent-side by the consumers.  The triangle-id
+    maps travel as (H, s_max, 3) uint8 packed row spans (ops.spans) — ~5x
+    less H2D than dense."""
+    import warnings as _warnings
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        out = _host_mid_body(d_can, params, width, height, n_max, t_max,
+                             s_max, host_filters)
+    out["warnings"] = [str(w.message) for w in caught]
+    return out
+
+
+def _host_mid_body(d_can, params, width, height, n_max, t_max, s_max,
+                   host_filters):
     d_can = np.asarray(d_can)
     if host_filters:
         from ..hostlib.raster import filter_support_sequential
@@ -143,6 +158,20 @@ class ElasEngine:
         self._stage_support = jax.jit(self._stage_support_impl)
         self._stage_dense = jax.jit(self._stage_dense_impl)
         self._host_pool = None
+
+    def close(self):
+        """Shut down the host geometry process pool (reference clean(),
+        stereo_vision.cpp:105-114).  Idempotent."""
+        if self._host_pool is not None:
+            self._host_pool.shutdown(wait=True, cancel_futures=True)
+            self._host_pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def host_pool(self, workers: int = 4):
         """Process pool running host_mid GIL-free (scipy's Delaunay holds

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..params import ElasParams
-from .grid import cell_index_maps
 
 _BIG = 2**30  # python int: safe trace-time constant
 

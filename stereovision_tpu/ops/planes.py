@@ -243,9 +243,10 @@ def host_geometry(d_can: np.ndarray, p: ElasParams, width: int, height: int,
     """
     step = p.step
     pts = support_points_from_grid(np.asarray(d_can), step)
-    if n_cap is not None and len(pts) > n_cap - 6:
+    margin = 6 if p.add_corners else 0   # corner slots only when appended
+    if n_cap is not None and len(pts) > n_cap - margin:
         import warnings
-        keep = n_cap - 6
+        keep = n_cap - margin
         warnings.warn("support points thinned: %d -> %d (n_max=%d)"
                       % (len(pts), keep, n_cap))
         pts = pts[np.arange(keep) * len(pts) // keep]

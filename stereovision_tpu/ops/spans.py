@@ -44,6 +44,11 @@ def encode_tri_spans(tri: np.ndarray, s_max: int) -> np.ndarray:
     if it ever does.
     """
     tri = np.asarray(tri)
+    # 0xFFFF is the -1 (no triangle) sentinel; any id >= 0xFFFF would alias
+    # another id after the `& 0xFFFF` pack below.  Engines cap t_max well
+    # under this, but fail loudly rather than corrupt silently.
+    assert tri.max(initial=-1) < 0xFFFF, \
+        "triangle id %d overflows the uint16 span codec" % int(tri.max())
     H, W = tri.shape
     change = np.empty((H, W), dtype=bool)
     change[:, 0] = True

@@ -23,7 +23,6 @@ snapshot (parallel) semantics like the reference's OpenMP build
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

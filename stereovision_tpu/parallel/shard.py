@@ -15,7 +15,7 @@ support grid — a few tens of KB)."""
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -94,6 +94,43 @@ class TestStereoEngine:
         for o in outs:
             assert np.array_equal(np.asarray(o["dmap"]), blocking["dmap"])
 
+    def test_lifecycle_close_releases_workers(self):
+        """close() must shut down the stream executors and host pool so
+        long-running/looped use does not leak threads or processes
+        (reference clean(), stereo_vision.cpp:105-114)."""
+        import threading
+        from stereovision_tpu.engine import StereoEngine
+        from stereovision_tpu.params import robotics_params
+        L, R = _shifted_scene()
+        Lc = np.stack([L] * 3, -1)
+        Rc = np.stack([R] * 3, -1)
+        before = threading.active_count()
+        with StereoEngine(CALIB, 160, 120, use_pallas=False,
+                          params=robotics_params(disp_max=63)) as eng:
+            outs = list(eng.stream_batched(iter([(Lc, Rc)] * 3), batch=2,
+                                           host_workers="thread"))
+            assert len(outs) == 3
+            assert eng._executors is not None
+        assert eng._executors is None
+        assert eng.elas._host_pool is None
+        # executor threads are joined by shutdown(wait=True)
+        assert threading.active_count() <= before + 1
+
+    def test_worker_warnings_surface_parent_side(self):
+        """Warnings raised inside host_mid_standalone (support thinning,
+        span overflow) must be captured and re-emitted by the batched
+        path."""
+        from stereovision_tpu.models.elas import host_mid_standalone
+        from stereovision_tpu.params import robotics_params
+        p = robotics_params(disp_max=63)
+        # dense grid -> many support points; tiny n_max forces thinning
+        rng = np.random.default_rng(0)
+        d_can = rng.integers(0, 60, (24, 32)).astype(np.float32)
+        g = host_mid_standalone(d_can, p, width=160, height=120,
+                                n_max=64, t_max=200, s_max=64,
+                                host_filters=False)
+        assert any("thinned" in w for w in g["warnings"])
+
     def test_object_positions(self, engine):
         pts = np.zeros((120 * 160, 3), np.float32)
         pts[:, 2] = 5.0

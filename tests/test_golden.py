@@ -57,10 +57,15 @@ def test_profile_golden(name):
     assert bad3_both < 0.005, f"{name}: bad3 (both valid) too high: {bad3_both}"
     # coverage sets differ mildly in both directions on some pairs
     # (raindeer: ~8.5% each way; see docs/PERFORMANCE.md table — total
-    # coverage matches the golden within 1%): bound one-sided misses and
-    # require at least golden-level total coverage
-    assert gold_only < 0.10, f"{name}: missing coverage vs golden: {gold_only}"
-    assert ours_only < 0.12, f"{name}: unexpected extra coverage: {ours_only}"
+    # coverage matches the golden within 1%).  Bound one-sided misses
+    # PER PAIR so the clean pairs keep their tight regression envelope
+    # (a uniform 0.10 bound would let a 9% coverage swap pass everywhere).
+    gold_only_max = {"raindeer": 0.10}.get(name, 0.02)
+    assert gold_only < gold_only_max, \
+        f"{name}: missing coverage vs golden: {gold_only}"
+    ours_only_max = {"raindeer": 0.12}.get(name, 0.09)
+    assert ours_only < ours_only_max, \
+        f"{name}: unexpected extra coverage: {ours_only}"
     assert ov.mean() > gv.mean() - 0.01, \
         f"{name}: total coverage below golden: {ov.mean()} vs {gv.mean()}"
     # normalization scales should be close (max-disparity parity)
