@@ -333,10 +333,14 @@ class YoloV4Tiny:
                 continue
             r = rows[keep]
             s = scores[keep]
-            boxes = np.stack([
+            # integer boxes BEFORE NMS: the reference constructs int
+            # cv::Rects (C-style truncation) and runs NMSBoxes on those
+            # (detector.cpp:50-54,66) — float boxes flip near-threshold
+            # suppression decisions
+            boxes = np.trunc(np.stack([
                 r[:, 0] * fw - r[:, 2] * fw / 2,
                 r[:, 1] * fh - r[:, 3] * fh / 2,
-                r[:, 2] * fw, r[:, 3] * fh], axis=1)
+                r[:, 2] * fw, r[:, 3] * fh], axis=1))
             for idx in _nms(boxes, s, nms_threshold):
                 color = _BOX_COLORS[c % len(_BOX_COLORS)]
                 name = (self.class_names[c] if c < len(self.class_names)
