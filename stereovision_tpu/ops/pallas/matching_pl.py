@@ -346,15 +346,21 @@ def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
     d_hi = jnp.minimum(d_plane + p.plane_radius, D - 1)
     pvalid = ((jnp.abs(a) < 0.7) & (jnp.abs(a_other) < 0.7)).astype(jnp.int32)
 
-    # packed per-pixel candidate-mask words (D//32, Ho, Wo)
+    # Packed per-pixel candidate-mask words (D//32, Ho, Wo), built by
+    # packing at CELL level first and expanding the packed words — the
+    # obvious order (expand cell mask to pixels, then pack) materializes a
+    # (D, Ho, Wo) bool intermediate: ~120 MB at KITTI size and ~480 MB at
+    # scale 0.5, which is what used to cap the batched path at batch 2 on
+    # wide frames.
     gs = p.grid_size
-    gm = jnp.repeat(grid_mask, gs, axis=1)[:, :H]
-    gm = jnp.repeat(gm, gs, axis=2)[:, :, :W]
-    gm = jax.lax.slice(gm, (0, 0, 0), (D, H, W), (1, sub, sub))[:, :Ho, :Wo]
     nwords = D // 32
-    bits = gm.reshape(nwords, 32, Ho, Wo).astype(jnp.uint32)
+    Gh, Gw = grid_mask.shape[1], grid_mask.shape[2]
+    cb = grid_mask.reshape(nwords, 32, Gh, Gw).astype(jnp.uint32)
     shifts = np.arange(32, dtype=np.uint32)[None, :, None, None]
-    gm_bits = jnp.sum(bits << shifts, axis=1).astype(jnp.int32)
+    cell_bits = jnp.sum(cb << shifts, axis=1).astype(jnp.int32)
+    gy = (v_full // gs).astype(np.int32)             # pixel -> cell row
+    gx = (u_full // gs).astype(np.int32)
+    gm_bits = cell_bits[:, gy][:, :, gx]             # (nwords, Ho, Wo)
 
     # pad to (8,128)-aligned grid; under a mesh context the row blocks must
     # also split evenly across 'tile' shards
@@ -397,8 +403,26 @@ def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
     # extracted into a sorted front-packed index list + count (split by
     # disparity parity in subsampled mode, one list per B plane).
     nbi, nbj = Hp // BH, Wp // BW
-    gm_blk = jnp.pad(gm, ((0, 0),) + padHW)            # (D, Hp, Wp) bool
-    gm_blk = jnp.any(gm_blk.reshape(D, nbi, BH, nbj, BW), axis=(2, 4))
+    # Block-level candidate presence (D, nbi, nbj), from the CELL mask via
+    # range sums — never touches pixel resolution.  The cell rows touched
+    # by pixel-row block i are the contiguous range [gy[first], gy[last]]
+    # (gy is monotone with unit steps), so a prefix-sum corner difference
+    # gives "any cell in range"; same along columns.
+    bi, bj = np.arange(nbi), np.arange(nbj)
+    rlo = gy[np.minimum(bi * BH, Ho - 1)]
+    rhi = gy[np.minimum((bi + 1) * BH - 1, Ho - 1)]
+    valid_i = (bi * BH) < Ho                           # fully-padded blocks
+    clo = gx[np.minimum(bj * BW, Wo - 1)]
+    chi = gx[np.minimum((bj + 1) * BW - 1, Wo - 1)]
+    valid_j = (bj * BW) < Wo
+    ci = jnp.pad(jnp.cumsum(grid_mask.astype(jnp.int32), axis=1),
+                 ((0, 0), (1, 0), (0, 0)))
+    row_any = (ci[:, rhi + 1, :] - ci[:, rlo, :]) > 0  # (D, nbi, Gw)
+    cj = jnp.pad(jnp.cumsum(row_any.astype(jnp.int32), axis=2),
+                 ((0, 0), (0, 0), (1, 0)))
+    gm_blk = (cj[:, :, chi + 1] - cj[:, :, clo]) > 0   # (D, nbi, nbj)
+    gm_blk = gm_blk & jnp.asarray(valid_i[None, :, None]
+                                  & valid_j[None, None, :])
     lo_p = pad2(d_lo, D)                                # empty on padding
     hi_p = pad2(d_hi, -1)
     lo_blk = jnp.min(lo_p.reshape(nbi, BH, nbj, BW), axis=(1, 3))

@@ -47,15 +47,19 @@ _BIG = np.int32(2 ** 30)
 BH = 8
 
 
-def _kernel(A_ref, B_ref, out_ref, *, d_lo, d_hi, W, batched=False):
-    if batched:
-        A = A_ref[0]
-        C0 = B_ref[0]
-    else:
-        A = A_ref[...]
-        C0 = B_ref[...]
+def _kernel(A_ref, B_ref, out_ref, *, d_lo, d_hi, W, batched=False,
+            chunk=0):
+    nlead = int(batched) + (1 if chunk else 0)
+    A = A_ref[(0,) * nlead]
+    C0 = B_ref[(0,) * nlead]
     Wp = A.shape[-1]
     u = jax.lax.broadcasted_iota(jnp.int32, (BH, Wp), 1)
+    if chunk:
+        # column-chunked mode for very wide frames: this window covers
+        # global columns [c*chunk - ext, ...) (ext = d_hi + 2 halo); see
+        # support_matches.  Validity masks must use GLOBAL u.
+        c = pl.program_id(1 if batched else 0)
+        u = u + c * chunk - (d_hi + 2)
 
     def body(d, carry):
         (C, f1e, f1d, f2e, f2d, b1e, b1d, b2e, b2d) = carry
@@ -95,35 +99,35 @@ def _kernel(A_ref, B_ref, out_ref, *, d_lo, d_hi, W, batched=False):
     out = jax.lax.fori_loop(d_lo, d_hi + 1, body,
                             (C0, big, neg, big, neg, big, neg, big, neg))
     for k in range(8):
-        if batched:
-            out_ref[0, k] = out[k + 1]
-        else:
-            out_ref[k] = out[k + 1]
+        out_ref[(0,) * nlead + (k,)] = out[k + 1]
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _scan_pallas_call(shapes, d_lo: int, d_hi: int, W: int, batch: int = 0):
+def _scan_pallas_call(shapes, d_lo: int, d_hi: int, W: int, batch: int = 0,
+                      chunk: int = 0, nchunk: int = 1):
+    """chunk > 0 adds a column-chunk grid dimension: inputs/outputs carry a
+    leading (nchunk,) axis of overlapping windows (see support_matches)."""
     Hcp, Wp = shapes
     batched = batch > 0
     kern = functools.partial(_kernel, d_lo=d_lo, d_hi=d_hi, W=W,
-                             batched=batched)
-    if batched:
-        grid = (batch, Hcp // BH)
-
-        def bs(block, imap):
-            return pl.BlockSpec((1,) + block, lambda b, i: (b,) + imap(i),
-                                memory_space=pltpu.VMEM)
-    else:
-        grid = (Hcp // BH,)
-
-        def bs(block, imap):
-            return pl.BlockSpec(block, imap, memory_space=pltpu.VMEM)
-
+                             batched=batched, chunk=chunk)
     lead = (batch,) if batched else ()
+    if chunk:
+        lead = lead + (nchunk,)
+    nlead = len(lead)
+    grid = lead + (Hcp // BH,)
+
+    def bs(block, imap):
+        return pl.BlockSpec(
+            (1,) * nlead + block,
+            lambda *ids: tuple(ids[:nlead]) + imap(ids[nlead]),
+            memory_space=pltpu.VMEM)
+
     D = d_hi - d_lo + 1
+    vol = Hcp * Wp * max(batch, 1) * max(nchunk, 1)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -132,34 +136,39 @@ def _scan_pallas_call(shapes, d_lo: int, d_hi: int, W: int, batch: int = 0):
         out_specs=bs((8, BH, Wp), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct(lead + (8, Hcp, Wp), jnp.int32),
         cost_estimate=pl.CostEstimate(
-            flops=3 * 33 * D * Hcp * Wp * max(batch, 1),
-            bytes_accessed=2 * 32 * 4 * Hcp * Wp * max(batch, 1),
+            flops=3 * 33 * D * vol,
+            bytes_accessed=2 * 32 * 4 * vol,
             transcendentals=0),
         interpret=jax.default_backend() == "cpu",
     )
 
 
-def _support_scan(A, B0, d_lo: int, d_hi: int, W: int) -> jnp.ndarray:
-    """Run the Pallas scan.  A, B0: (32, Hcp, Wp) i32.  Returns the
-    (8, Hcp, Wp) minima stack.  vmap dispatches one batched call with an
-    explicit leading grid dimension (vmapping pallas_call directly is
-    unreliable on this toolchain, see matching_pl).  Under an active
-    parallel.ctx mesh the call is shard_map'ed — candidate-row stripes are
-    independent, so they shard over 'tile' with no halo."""
+def _support_scan(A, B0, d_lo: int, d_hi: int, W: int,
+                  chunk: int = 0) -> jnp.ndarray:
+    """Run the Pallas scan.  A, B0: (32, Hcp, Wp) i32 — or, in chunked mode
+    (chunk > 0), ([nchunk,] 32, Hcp, Wkp) stacks of overlapping column
+    windows.  Returns the (…, 8, Hcp, Wp) minima stack.  vmap dispatches
+    one batched call with an explicit leading grid dimension (vmapping
+    pallas_call directly is unreliable on this toolchain, see matching_pl).
+    Under an active parallel.ctx mesh the call is shard_map'ed — candidate-
+    row stripes are independent, so they shard over 'tile' with no halo."""
     from jax.sharding import PartitionSpec as P
-    _, Hcp, Wp = A.shape
+    Hcp, Wp = A.shape[-2:]
+    nchunk = A.shape[0] if chunk else 1
+    chunk_ax = (None,) if chunk else ()
     n_t = mesh_ctx.row_multiple()
     loc = (Hcp // n_t, Wp)
 
     def specs(batched):
         _, s_ax, t_ax = mesh_ctx.current()
         lead = (s_ax,) if batched else ()
-        s = P(*lead, None, t_ax, None)
+        s = P(*lead, *chunk_ax, None, t_ax, None)
         return (s, s), s
 
     @jax.custom_batching.custom_vmap
     def scan(A, B0):
-        call = _scan_pallas_call(loc, d_lo, d_hi, W)
+        call = _scan_pallas_call(loc, d_lo, d_hi, W, chunk=chunk,
+                                 nchunk=nchunk)
         if mesh_ctx.current() is None:
             return call(A, B0)
         in_s, out_s = specs(False)
@@ -173,7 +182,8 @@ def _support_scan(A, B0, d_lo: int, d_hi: int, W: int) -> jnp.ndarray:
                 x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
             args.append(x)
         call = _scan_pallas_call(loc, d_lo, d_hi, W,
-                                 batch=mesh_ctx.batch_split(axis_size))
+                                 batch=mesh_ctx.batch_split(axis_size),
+                                 chunk=chunk, nchunk=nchunk)
         if mesh_ctx.current() is None:
             return call(*args), True
         in_s, out_s = specs(True)
@@ -182,19 +192,28 @@ def _support_scan(A, B0, d_lo: int, d_hi: int, W: int) -> jnp.ndarray:
     return scan(A, B0)
 
 
+# Full-width row stripes above this lane width exceed the ~16 MB VMEM
+# budget (measured: Wp=2560 requests 18.2 MB); wider frames run the
+# column-chunked mode.  Module constants so tests can exercise the chunked
+# path at small sizes.
+_MAX_FULL_W = 1920
+_CHUNK_W = 1024
+
+
 def support_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
                     p: ElasParams, apply_filters: bool = True) -> jnp.ndarray:
     """Drop-in replacement for ops.support.support_matches using the Pallas
     scan kernel (same outputs).
 
     The kernel keeps full-width 32-plane row stripes in VMEM; very wide
-    frames (scale < ~0.7, W > ~1900) exceed the ~16 MB scoped budget
-    (measured: Wp=2560 requests 18.2 MB), so those fall back to the XLA
-    formulation (identical results)."""
+    frames (scale < ~0.7, W > ~1900) exceed the ~16 MB scoped budget, so
+    they run in COLUMN-CHUNKED mode: overlapping windows of _CHUNK_W output
+    columns + a (d_hi + 2)-column halo on each side (forward matching reads
+    B(u - d ± 2); backward reads A(u + d ± 2) via bwd(u, d) = fwd(u + d, d))
+    are stacked on a leading chunk grid dimension, and the wrapper stitches
+    the window interiors back together — bit-identical to the full-width
+    scan."""
     _, H, W = desc1.shape
-    if _round_up(W, 128) > 1920:
-        from ..support import support_matches as xla_support
-        return xla_support(desc1, desc2, p, apply_filters=apply_filters)
     step = p.step
     Hc = -(-H // step)
     d_lo = max(p.disp_min, 0)
@@ -210,9 +229,28 @@ def support_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
         B = jnp.pad(B, ((0, 0), (0, 0), (d_lo, 0)))[:, :, :W]
 
     Hcp = _round_up(Hc, BH * mesh_ctx.row_multiple())
-    Wp = _round_up(W, 128)
-    pad = ((0, 0), (0, Hcp - Hc), (0, Wp - W))
-    out = _support_scan(jnp.pad(A, pad), jnp.pad(B, pad), d_lo, d_hi, W)
+    if _round_up(W, 128) > _MAX_FULL_W:
+        CW = _CHUNK_W
+        ext = d_hi + 2
+        Wkp = _round_up(CW + 2 * ext, 128)
+        nchunk = -(-W // CW)
+        plen = (nchunk - 1) * CW + Wkp
+        pad3 = ((0, 0), (0, Hcp - Hc), (ext, plen - ext - W))
+        A_p = jnp.pad(A, pad3)
+        B_p = jnp.pad(B, pad3)
+
+        def windows(x):
+            return jnp.stack([jax.lax.slice_in_dim(x, c * CW, c * CW + Wkp,
+                                                   axis=2)
+                              for c in range(nchunk)])
+        o = _support_scan(windows(A_p), windows(B_p), d_lo, d_hi, W,
+                          chunk=CW)
+        out = jnp.concatenate([o[c, :, :, ext:ext + CW]
+                               for c in range(nchunk)], axis=-1)[:, :, :W]
+    else:
+        Wp = _round_up(W, 128)
+        pad = ((0, 0), (0, Hcp - Hc), (0, Wp - W))
+        out = _support_scan(jnp.pad(A, pad), jnp.pad(B, pad), d_lo, d_hi, W)
 
     grid_cols = np.arange(-(-W // step)) * step
     f = out[:4, :Hc, :W]

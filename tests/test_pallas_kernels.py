@@ -104,6 +104,38 @@ def test_support_kernel_matches_xla(filters):
         assert (ref >= 0).sum() > 50    # scene actually produced support
 
 
+@pytest.mark.parametrize("batched", [False, True])
+def test_support_kernel_chunked_matches_full(monkeypatch, batched):
+    """The column-chunked wide-frame mode (overlapping halo windows on a
+    chunk grid dimension) must be bit-identical to the full-width scan —
+    forced here at a small size by shrinking the module thresholds."""
+    from stereovision_tpu.ops.pallas import support_pl
+    from stereovision_tpu.ops.descriptor import compute_descriptor
+
+    h, w = 64, 320
+    p = robotics_params(disp_max=63, postprocess_only_left=False)
+    rng = np.random.default_rng(9)
+    L = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    R = np.empty_like(L)
+    for v in range(h):
+        R[v] = np.roll(L[v], -(6 + v // 24))
+    d1 = compute_descriptor(jnp.asarray(L))
+    d2 = compute_descriptor(jnp.asarray(R))
+    full = np.asarray(support_pl.support_matches(d1, d2, p))
+    monkeypatch.setattr(support_pl, "_MAX_FULL_W", 128)
+    monkeypatch.setattr(support_pl, "_CHUNK_W", 128)
+    if batched:
+        B = 2
+        st = lambda x: jnp.asarray(np.stack([np.asarray(x)] * B))
+        out = jax.vmap(lambda a, b: support_pl.support_matches(a, b, p))(
+            st(d1), st(d2))
+        for i in range(B):
+            assert np.array_equal(np.asarray(out)[i], full)
+    else:
+        chunked = np.asarray(support_pl.support_matches(d1, d2, p))
+        assert np.array_equal(full, chunked)
+
+
 def test_support_kernel_batched_rule():
     from stereovision_tpu.ops import support
     from stereovision_tpu.ops.pallas import support_pl
