@@ -13,6 +13,16 @@ segmented min-sweeps (row fwd/bwd, column fwd/bwd) in Kogge-Stone form
 (log-depth shifted mins with segment flags), iterated in a while_loop
 until the labels stop changing.
 
+Convergence needs one round per direction-change of the longest
+serpentine path (~42 rounds on KITTI frames).  A POINTER-JUMPING variant
+(labels are linear pixel indices, so `lab <- lab[lab]` — an XLA gather
+between bounded-round kernel calls — compresses label chains the way
+union-find path-halving does; both steps only ever replace a pixel's
+label with another member of the SAME component, so the combined
+fixpoint is bit-identical) is implemented behind _JUMP_ROUNDS but OFF by
+default: measured on v5e the per-jump gather costs more than the rounds
+it saves (see the flag comment / scripts/ccl_lab.py).
+
 The same kernel then runs a second time to SPREAD component sizes: with
 labels converged, every component's root (the pixel whose linear index
 equals the label) holds its size — min-propagating "size at root, +inf
@@ -69,7 +79,8 @@ def _segmented_min_sweep(val, conn, bit, axis, L, forward, stride):
     return key + stride * seg
 
 
-def _kernel(conn_ref, init_ref, out_ref, *, Hp, Wp, stride, batched=False):
+def _kernel(conn_ref, init_ref, out_ref, *, Hp, Wp, stride, batched=False,
+            rounds=0):
     if batched:
         conn = conn_ref[0]
         lab0 = init_ref[0]
@@ -86,15 +97,27 @@ def _kernel(conn_ref, init_ref, out_ref, *, Hp, Wp, stride, batched=False):
         m = _segmented_min_sweep(m, conn, 3, 0, Hp, False, stride)
         return m
 
-    def cond(state):
-        return state[1]
+    if rounds:
+        # bounded mode: exactly `rounds` sweep rounds, no convergence
+        # check — the driver's pointer-jump loop owns convergence.
+        # Structured as a counter while_loop (not fori_loop) to keep the
+        # same VMEM liveness as the convergence loop below: the fori form
+        # measured 17.6 MB scoped VMEM at KITTI size (over the 16 MB cap)
+        # vs ~13.5 MB for this form.
+        lab, _ = jax.lax.while_loop(
+            lambda s: s[1] < rounds,
+            lambda s: (round_(s[0]), s[1] + 1),
+            (lab0, jnp.int32(0)))
+    else:
+        def cond(state):
+            return state[1]
 
-    def body(state):
-        lab, _ = state
-        m = round_(lab)
-        return m, jnp.any(m != lab)
+        def body(state):
+            lab, _ = state
+            m = round_(lab)
+            return m, jnp.any(m != lab)
 
-    lab, _ = jax.lax.while_loop(cond, body, (lab0, jnp.bool_(True)))
+        lab, _ = jax.lax.while_loop(cond, body, (lab0, jnp.bool_(True)))
     if batched:
         out_ref[0] = lab
     else:
@@ -105,11 +128,11 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _fixpoint_call(shapes, stride: int, batch: int = 0):
+def _fixpoint_call(shapes, stride: int, batch: int = 0, rounds: int = 0):
     Hp, Wp = shapes
     batched = batch > 0
     kern = functools.partial(_kernel, Hp=Hp, Wp=Wp, stride=stride,
-                             batched=batched)
+                             batched=batched, rounds=rounds)
     if batched:
         grid = (batch,)
 
@@ -124,7 +147,7 @@ def _fixpoint_call(shapes, stride: int, batch: int = 0):
                                 memory_space=pltpu.VMEM)
 
     lead = (batch,) if batched else ()
-    rounds = 40  # cost hint only
+    est_rounds = rounds or 40  # cost hint only
     steps = int(math.log2(Wp)) * 2 + int(math.log2(Hp)) * 2 + 4
     return pl.pallas_call(
         kern,
@@ -133,14 +156,19 @@ def _fixpoint_call(shapes, stride: int, batch: int = 0):
         out_specs=bs(),
         out_shape=jax.ShapeDtypeStruct(lead + (Hp, Wp), jnp.int32),
         cost_estimate=pl.CostEstimate(
-            flops=6 * rounds * steps * Hp * Wp * max(batch, 1),
+            flops=6 * est_rounds * steps * Hp * Wp * max(batch, 1),
             bytes_accessed=3 * 4 * Hp * Wp * max(batch, 1),
             transcendentals=0),
+        # ~7 live i32 frame planes fit the default 16 MB scoped-VMEM cap
+        # at KITTI size, but when this call sits inside the pointer-jump
+        # while_loop XLA stages operands on the same budget (+2 planes,
+        # measured 17.6 MB) — raise the cap (v5e has 128 MB VMEM).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
         interpret=jax.default_backend() == "cpu",
     )
 
 
-def _fixpoint(conn, init, stride):
+def _fixpoint(conn, init, stride, rounds: int = 0):
     """Run the in-VMEM fixpoint.  conn, init: (Hp, Wp) i32; init values must
     lie in [0, stride).  Components cross row boundaries, so under an active
     parallel.ctx mesh the kernel runs tile-REPLICATED (every 'tile' member
@@ -156,7 +184,7 @@ def _fixpoint(conn, init, stride):
 
     @jax.custom_batching.custom_vmap
     def run(conn, init):
-        call = _fixpoint_call((Hp, Wp), stride)
+        call = _fixpoint_call((Hp, Wp), stride, rounds=rounds)
         if mesh_ctx.current() is None:
             return call(conn, init)
         in_s, out_s = specs(False)
@@ -170,7 +198,8 @@ def _fixpoint(conn, init, stride):
                 x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
             args.append(x)
         call = _fixpoint_call((Hp, Wp), stride,
-                              batch=mesh_ctx.batch_split(axis_size))
+                              batch=mesh_ctx.batch_split(axis_size),
+                              rounds=rounds)
         if mesh_ctx.current() is None:
             return call(*args), True
         in_s, out_s = specs(True)
@@ -179,15 +208,56 @@ def _fixpoint(conn, init, stride):
     return run(conn, init)
 
 
+# Sweep rounds per pointer jump (0 = pure in-kernel fixpoint, no jumps)
+# and whether the size lookup gathers from the histogram (vs the
+# min-spread second fixpoint).  Module-level so perf scripts can A/B.
+#
+# MEASURED (scripts/ccl_lab.py, v5e, KITTI 1242x375 pre-speckle frame):
+# pointer jumping cuts rounds-to-converge 42 -> 23, but every jump is a
+# 481k-element XLA gather (~4-5 ms) while an in-kernel sweep round costs
+# ~0.35 ms — pure fixpoint 30.0 ms end-to-end (~5 ms device after the
+# ~25 ms tunnel dispatch) vs 60-112 ms for every jump variant, and the
+# size-gather variant ties the min-spread second fixpoint.  The pure
+# in-kernel design stays the default; the jump machinery is kept for
+# A/B and for hardware where gathers are cheaper.
+_JUMP_ROUNDS = 0
+_SIZE_GATHER = False
+
+
+def _converge(conn_p, idx, stride):
+    """Exact component-min labels: bounded sweep rounds + pointer jumps
+    until a full (sweeps, jump) composition changes nothing.  Both steps
+    are monotone non-increasing within component-member labels, so the
+    combined fixpoint equals the pure-sweep fixpoint (module docstring)."""
+    if not _JUMP_ROUNDS:
+        return _fixpoint(conn_p, idx, stride)
+    Hp, Wp = idx.shape[-2:]
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        lab, _ = state
+        m = _fixpoint(conn_p, lab, stride, rounds=_JUMP_ROUNDS)
+        f = m.reshape(-1)
+        m = f[f].reshape(Hp, Wp)
+        return m, jnp.any(m != lab)
+
+    lab, _ = jax.lax.while_loop(cond, body, (idx, jnp.bool_(True)))
+    return lab
+
+
 def remove_small_segments(D, p: ElasParams):
     """Drop-in Pallas replacement for
     ops.postprocess.remove_small_segments (exact fixpoint only).
 
-    The kernel keeps the whole frame in VMEM (~7 live i32 planes); frames
-    where that exceeds the ~16 MB VMEM budget fall back to the XLA
-    formulation (identical results)."""
+    The kernel keeps the whole frame in VMEM (~7 live i32 planes + 2
+    planes of while-body operand staging, under a raised 96 MB scoped
+    limit — v5e VMEM is 128 MB); frames where that exceeds the budget
+    (beyond ~scale 0.4, 3100x940) fall back to the XLA formulation
+    (identical results)."""
     H, W = D.shape
-    if _round_up(H, 8) * _round_up(W, 128) * 4 * 7 > 14 * 2 ** 20:
+    if _round_up(H, 8) * _round_up(W, 128) * 4 * 9 > 90 * 2 ** 20:
         from .. import postprocess as post
         return post.remove_small_segments(D, p, 0)
     speckle = p.speckle_size
@@ -216,17 +286,22 @@ def remove_small_segments(D, p: ElasParams):
     stride = n + 1
     idx = jnp.arange(n, dtype=jnp.int32).reshape(Hp, Wp)
 
-    lab = _fixpoint(conn_p, idx, stride)
+    lab = _converge(conn_p, idx, stride)
 
     sizes = jnp.zeros((n,), jnp.int32).at[lab.reshape(-1)].add(1)
-    # label == linear index of the component's first (row-major) pixel, so
-    # reshaping the histogram puts every component's size AT its root pixel
-    # — no gather.  Min-propagating (size at root, n elsewhere — the re-key
-    # sweep requires values < stride) over the same connectivity hands it
-    # to every member (a component's size always <= n, so the filler only
-    # ties when the component is the whole frame, where it IS the size).
-    root_size = sizes.reshape(Hp, Wp)
-    spread0 = jnp.where(lab == idx, root_size, n)
-    size_px = _fixpoint(conn_p, spread0, stride)[:H, :W]
+    if _SIZE_GATHER:
+        # every pixel's component size is a direct lookup — the scatter-add
+        # histogram above already pays the same indexed-access cost.
+        size_px = sizes[lab.reshape(-1)].reshape(Hp, Wp)[:H, :W]
+    else:
+        # round-2 fallback: label == linear index of the component's first
+        # (row-major) pixel, so reshaping the histogram puts every
+        # component's size AT its root pixel; min-propagating
+        # (size at root, n elsewhere) over the same connectivity hands it
+        # to every member without a gather — at the cost of a second full
+        # fixpoint (~the same round count again).
+        root_size = sizes.reshape(Hp, Wp)
+        spread0 = jnp.where(lab == idx, root_size, n)
+        size_px = _fixpoint(conn_p, spread0, stride)[:H, :W]
 
     return jnp.where(size_px < speckle, jnp.float32(-10.0), D)

@@ -10,8 +10,10 @@ postprocessing column scans become segmented collectives, and the tiny
 support grid is gathered for the host geometry stage.
 
 This module provides the mesh-aware analogue of ElasEngine's two device
-stages; the host middle stage is unchanged (it sees the full, gathered
-support grid — a few tens of KB)."""
+stages, with the single-device transport engineering carried over: the
+host middle runs in the engine's process pool and its per-frame geometry
+ships as ONE packed (B, nbytes) uint8 buffer (ElasEngine.pack_geometry),
+not five separate uploads."""
 
 from __future__ import annotations
 
@@ -74,26 +76,38 @@ class ShardedStereoPipeline:
             in_shardings=(img_s, img_s),
             out_shardings=(desc_s, desc_s, rep_s)))
 
-        geo_s = (rep_s, rep_s, rep_s, rep_s, rep_s)
+        # Geometry crosses as ONE (B, nbytes) uint8 packed buffer
+        # (ElasEngine.pack_geometry) — the same single-dispatch transport
+        # the single-device batched path uses; unpacking is static
+        # slices + bitcasts that GSPMD partitions like any other glue.
         self.stage_b = traced_in_ctx(jax.jit(
-            jax.vmap(e._stage_dense_impl),
-            in_shardings=(desc_s, desc_s) + geo_s,
+            jax.vmap(lambda d1, d2, buf: e._stage_dense_impl(
+                d1, d2, *e.unpack_geometry(buf))),
+            in_shardings=(desc_s, desc_s, rep_s),
             out_shardings=(sh("stream", "tile", None),
                            sh("stream", "tile", None))))
 
+    def _host_geometry_packed(self, d_cans: np.ndarray) -> np.ndarray:
+        """Support grids -> (B, nbytes) packed geometry, via the engine's
+        host process pool (scipy Delaunay holds the GIL; processes scale).
+        Warnings captured inside pool subprocesses are re-emitted here."""
+        import warnings as _warnings
+        e = self.engine
+        gs = (e.host_mid_parallel(list(d_cans))
+              if len(d_cans) > 1 else [e.host_mid(d_cans[0])])
+        for g in gs:
+            for msg in g.get("warnings", ()):
+                _warnings.warn("host geometry worker: " + msg)
+        return np.stack([e.pack_geometry(g) for g in gs])
+
     def run(self, left_batch: np.ndarray, right_batch: np.ndarray
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Full step: device stage A -> host geometry (per frame) -> device
-        stage B.  left/right_batch: (B, H, W) uint8."""
+        """Full step: device stage A -> host geometry (process pool) ->
+        device stage B.  left/right_batch: (B, H, W) uint8."""
         desc1, desc2, d_can = self.stage_a(jnp.asarray(left_batch),
                                            jnp.asarray(right_batch))
-        dcs = np.asarray(d_can)
-        gs = [self.engine.host_mid(dcs[i]) for i in range(dcs.shape[0])]
-        stacked = {k: jnp.asarray(np.stack([g[k] for g in gs]))
-                   for k in gs[0]}
-        return self.stage_b(desc1, desc2, stacked["pts"],
-                            stacked["tris_l"], stacked["tris_r"],
-                            stacked["tri_l"], stacked["tri_r"])
+        buf = self._host_geometry_packed(np.asarray(d_can))
+        return self.stage_b(desc1, desc2, jnp.asarray(buf))
 
     # -- multi-host path ------------------------------------------------------
 
@@ -124,10 +138,5 @@ class ShardedStereoPipeline:
             if b0 not in seen:
                 seen[b0] = np.asarray(s.data)
         local_dc = np.concatenate([seen[k] for k in sorted(seen)], axis=0)
-        gs = [self.engine.host_mid(local_dc[i])
-              for i in range(local_dc.shape[0])]
-        geo = {k: self._global(P("stream"), np.stack([g[k] for g in gs]))
-               for k in gs[0]}
-        return self.stage_b(desc1, desc2, geo["pts"],
-                            geo["tris_l"], geo["tris_r"],
-                            geo["tri_l"], geo["tri_r"])
+        buf = self._host_geometry_packed(local_dc)
+        return self.stage_b(desc1, desc2, self._global(P("stream"), buf))
