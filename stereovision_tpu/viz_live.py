@@ -141,14 +141,34 @@ class PointCloudRenderer:
         ok &= (u >= 0) & (u < self.w) & (v >= 0) & (v < self.h)
         return u, v, z, ok
 
+    # Ground-plane range rings (reference graphing.h:139-170: red circles
+    # of radius 1..9 m at y=0, pi/100 steps, plus a green marker at
+    # (0, 0, 1)), generated once as a point set and splatted like any
+    # other points.
+    @staticmethod
+    def _ring_points() -> Tuple[np.ndarray, np.ndarray]:
+        theta = np.arange(0.0, 2 * math.pi, math.pi / 100)
+        rings = [np.stack([-r * np.sin(theta), np.zeros_like(theta),
+                           r * np.cos(theta)], axis=1)
+                 for r in range(1, 10)]
+        pts = np.concatenate(rings + [np.array([[0.0, 0.0, 1.0]])])
+        colors = np.full((len(pts), 3), (0, 0, 255), np.uint8)  # BGR red
+        colors[-1] = (0, 255, 0)                                # origin
+        return pts, colors
+
     def render(self, points: np.ndarray, cam: Camera,
                colors: Optional[np.ndarray] = None,
                cubes: Optional[Sequence] = None,
-               background: int = 12) -> np.ndarray:
+               background: int = 12,
+               draw_rings: bool = True) -> np.ndarray:
         """Render the cloud (optionally per-point (N, 3) uint8 BGR colors;
-        default = depth-shaded) and tracked-object cuboids.  Returns
-        (H, W, 3) uint8 BGR."""
+        default = depth-shaded), ground-plane range rings, and
+        tracked-object cuboids.  Returns (H, W, 3) uint8 BGR."""
         img = np.full((self.h, self.w, 3), background, np.uint8)
+        if draw_rings:
+            rp, rc = self._ring_points()
+            ru, rv, _, rok = self.project(rp, cam)
+            img[rv[rok], ru[rok]] = rc[rok]
         u, v, z, ok = self.project(points, cam)
         if ok.any():
             ui, vi, zi = u[ok], v[ok], z[ok]

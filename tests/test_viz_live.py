@@ -87,8 +87,21 @@ class TestRenderer:
         r = PointCloudRenderer(64, 64)
         cam = Camera(z=-5.0)
         pts = np.array([[np.inf, 0, 0], [np.nan, 1, 1], [0, 0, -50.0]])
-        img = r.render(pts, cam)
+        img = r.render(pts, cam, draw_rings=False)
         assert (img == 12).all()              # nothing drawn
+
+    def test_range_rings(self):
+        """Ground-plane range rings (graphing.h:139-170): red circles at
+        radius 1..9 m on y=0 plus a green origin marker, on by default."""
+        r = PointCloudRenderer(128, 128)
+        cam = Camera(y=-3.0, z=-5.0, pitch=0.4)
+        img = r.render(np.zeros((0, 3)), cam)
+        red = (img[..., 2] == 255) & (img[..., 0] == 0) & (img[..., 1] == 0)
+        green = (img[..., 1] == 255) & (img[..., 2] == 0)
+        assert red.sum() > 100                # ring points rasterized
+        assert green.any()                    # origin marker
+        off = r.render(np.zeros((0, 3)), cam, draw_rings=False)
+        assert (off == 12).all()
 
     def test_cube_wireframe(self):
         r = PointCloudRenderer(128, 128)
