@@ -316,10 +316,18 @@ class ElasEngine:
             lr_check = post.lr_consistency_check
             speckle = lambda D, q: post.remove_small_segments(
                 D, q, self.speckle_max_iters)
-        D1 = match(desc1, desc2, tri_l, planes_l, grid_l, p,
-                   right_image=False)
-        D2 = match(desc2, desc1, tri_r, planes_r, grid_r, p,
-                   right_image=True)
+        if self.use_pallas:
+            # one shared SAD volume feeds both passes where eligible
+            # (full-res); subsampled/very-wide frames fall back to two
+            # independent scans inside the pair wrapper
+            D1, D2 = matching_pl.compute_disparity_pair(
+                desc1, desc2, tri_l, tri_r, planes_l, planes_r,
+                grid_l, grid_r, p)
+        else:
+            D1 = match(desc1, desc2, tri_l, planes_l, grid_l, p,
+                       right_image=False)
+            D2 = match(desc2, desc1, tri_r, planes_r, grid_r, p,
+                       right_image=True)
 
         D1, D2 = lr_check(D1, D2, p)
         D1 = speckle(D1, p)

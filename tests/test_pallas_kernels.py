@@ -231,3 +231,54 @@ def test_lr_kernel_matches_xla(sub):
     for i in range(B):
         assert np.array_equal(np.asarray(b1)[i], np.asarray(r1))
         assert np.array_equal(np.asarray(b2)[i], np.asarray(r2))
+
+
+def _pair_setup(h, w, disp_max, seed=3):
+    p = robotics_params(disp_max=disp_max, postprocess_only_left=False)
+    rng = np.random.default_rng(seed)
+    L = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    R = np.empty_like(L)
+    for v in range(h):
+        R[v] = np.roll(L[v], -(4 + v // 16))
+    eng = ElasEngine(p, width=w, height=h)
+    desc1, desc2, d_can = eng._stage_support(jnp.asarray(L), jnp.asarray(R))
+    g = eng.host_mid(np.asarray(d_can))
+    gm_l = build_grid_mask(jnp.asarray(g["pts"]), p, w, h, False)
+    gm_r = build_grid_mask(jnp.asarray(g["pts"]), p, w, h, True)
+    tri_l = expand_tri_spans(jnp.asarray(g["tri_l"]), eng.Wo)
+    tri_r = expand_tri_spans(jnp.asarray(g["tri_r"]), eng.Wo)
+    return (p, desc1, desc2, tri_l, tri_r, plane_table(g, "l"),
+            plane_table(g, "r"), gm_l, gm_r)
+
+
+def test_matching_pair_kernel_matches_xla():
+    """The shared-SAD pair kernel is bit-identical to the two independent
+    XLA passes."""
+    (p, desc1, desc2, tri_l, tri_r, pl_l, pl_r,
+     gm_l, gm_r) = _pair_setup(64, 256, disp_max=63)
+    Dx1 = np.asarray(matching.compute_disparity(
+        desc1, desc2, tri_l, pl_l, gm_l, p, False))
+    Dx2 = np.asarray(matching.compute_disparity(
+        desc2, desc1, tri_r, pl_r, gm_r, p, True))
+    P1, P2 = matching_pl.compute_disparity_pair(
+        desc1, desc2, tri_l, tri_r, pl_l, pl_r, gm_l, gm_r, p)
+    assert np.array_equal(Dx1, np.asarray(P1))
+    assert np.array_equal(Dx2, np.asarray(P2))
+
+
+def test_matching_pair_kernel_batched_rule():
+    (p, desc1, desc2, tri_l, tri_r, pl_l, pl_r,
+     gm_l, gm_r) = _pair_setup(32, 128, disp_max=31, seed=4)
+    S1, S2 = matching_pl.compute_disparity_pair(
+        desc1, desc2, tri_l, tri_r, pl_l, pl_r, gm_l, gm_r, p)
+    B = 3
+    st = lambda x: jnp.asarray(np.stack([np.asarray(x)] * B))
+    B1, B2 = jax.vmap(
+        lambda a, b, tl, tr, ql, qr, ml, mr:
+            matching_pl.compute_disparity_pair(a, b, tl, tr, ql, qr,
+                                               ml, mr, p)
+    )(st(desc1), st(desc2), st(tri_l), st(tri_r), st(pl_l), st(pl_r),
+      st(gm_l), st(gm_r))
+    for i in range(B):
+        assert np.array_equal(np.asarray(B1)[i], np.asarray(S1))
+        assert np.array_equal(np.asarray(B2)[i], np.asarray(S2))
