@@ -45,24 +45,29 @@ def run_sweep(kitti_path: str, calib: str,
                 # subsampled batch-8 is slower than 4 on this toolchain
                 # (docs/KNOWN_ISSUES.md) — mirror bench.py's default
                 b = min(batch, 4) if sub else batch
-                # the matching stage's per-pixel candidate volume scales
-                # with W*H*D; cap the batch so total HBM stays near the
-                # known-good full-res footprint (batch 8 at 1242x375)
+                # cap the batch so total device footprint stays near the
+                # known-good full-res point (batch 8 at 1242x375) — batch 4
+                # at scale 0.5 was attempted after the cell-packed mask cut
+                # HBM, but the whole-frame CCL kernel's batched operand
+                # staging then exceeds scoped VMEM (measured 102.8 MB)
                 ref_px = 1242 * 375
                 b = max(1, min(b, b * ref_px // (W * H)))
                 try:
-                    if config == "batched":
+                    if config in ("batched", "fused"):
+                        fu = config == "fused"
                         for _ in eng.stream_batched(frames(4 * b),
                                                     batch=b,
                                                     fetch="dmap",
-                                                    pipeline_depth=3):
+                                                    pipeline_depth=3,
+                                                    fused=fu):
                             pass
                         t0 = time.time()
                         n = 0
                         for _ in eng.stream_batched(frames(n_frames),
                                                     batch=b,
                                                     fetch="dmap",
-                                                    pipeline_depth=3):
+                                                    pipeline_depth=3,
+                                                    fused=fu):
                             n += 1
                         fps = n / (time.time() - t0)
                     else:
@@ -103,6 +108,8 @@ if __name__ == "__main__":
     ap.add_argument("--calib", default=None)
     ap.add_argument("--out", default="sweep_results.csv")
     ap.add_argument("--scales", default="1.0,2.0")
+    ap.add_argument("--configs", default="batched")
+    ap.add_argument("--sub", default="0,1")
     ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
     import os.path as osp
@@ -111,4 +118,6 @@ if __name__ == "__main__":
         "kitti_2011_09_26.yml")
     run_sweep(args.kitti, calib,
               scales=[float(s) for s in args.scales.split(",")],
+              subsampling=[bool(int(x)) for x in args.sub.split(",")],
+              configs=args.configs.split(","),
               batch=args.batch, out_csv=args.out)

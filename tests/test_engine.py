@@ -94,6 +94,19 @@ class TestStereoEngine:
         for o in outs:
             assert np.array_equal(np.asarray(o["dmap"]), blocking["dmap"])
 
+    def test_stream_batched_fused(self, engine):
+        """The single-dispatch fused mode (stage A -> pure_callback host
+        geometry -> tail in ONE jitted call) matches the blocking path."""
+        L, R = _shifted_scene()
+        Lc = np.stack([L] * 3, -1)
+        Rc = np.stack([R] * 3, -1)
+        blocking = engine.process_frame(Lc, Rc)
+        outs = list(engine.stream_batched(iter([(Lc, Rc)] * 5), batch=2,
+                                          fused=True))
+        assert len(outs) == 5
+        for o in outs:
+            assert np.array_equal(np.asarray(o["dmap"]), blocking["dmap"])
+
     def test_lifecycle_close_releases_workers(self):
         """close() must shut down the stream executors and host pool so
         long-running/looped use does not leak threads or processes
