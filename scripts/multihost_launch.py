@@ -40,6 +40,11 @@ def build_parser():
     ap.add_argument("--frames-per-host", type=int, default=2)
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--height", type=int, default=96)
+    ap.add_argument("--disp-max", type=int, default=63)
+    ap.add_argument("--no-validate", action="store_true",
+                    help="skip the per-shard single-device validation "
+                         "(hours at KITTI size on CPU; correctness is "
+                         "covered at small shapes by tests/test_multihost)")
     ap.add_argument("--use-pallas", action="store_true",
                     help="Pallas kernels per shard (interpret mode on CPU "
                          "— slow; correctness only)")
@@ -69,7 +74,8 @@ def worker(args) -> dict:
           f"devices={jax.device_count()}", flush=True)
 
     w, h = args.width, args.height
-    p = robotics_params(disp_max=63, postprocess_only_left=False)
+    p = robotics_params(disp_max=args.disp_max,
+                        postprocess_only_left=False)
     pipe = ShardedStereoPipeline(p, w, h, mesh, use_pallas=args.use_pallas)
 
     # deterministic global scene; every process slices out its own frames
@@ -86,16 +92,17 @@ def worker(args) -> dict:
     jax.block_until_ready(D1)
 
     # validate this process's shards against a single-device engine
-    single = ElasEngine(p, w, h, use_pallas=args.use_pallas)
     errs = 0
-    for s in D1.addressable_shards:
-        bi = s.index[0].start or 0
-        rows = s.index[1]
-        ref = np.asarray(single.process(L[bi], R[bi])[0])[rows]
-        if not np.array_equal(np.asarray(s.data)[0], ref):
-            errs += 1
-    print(f"[proc {pid}] shard validation: "
-          f"{'OK' if errs == 0 else f'{errs} shards differ'}", flush=True)
+    if not args.no_validate:
+        single = ElasEngine(p, w, h, use_pallas=args.use_pallas)
+        for s in D1.addressable_shards:
+            bi = s.index[0].start or 0
+            rows = s.index[1]
+            ref = np.asarray(single.process(L[bi], R[bi])[0])[rows]
+            if not np.array_equal(np.asarray(s.data)[0], ref):
+                errs += 1
+        print(f"[proc {pid}] shard validation: "
+              f"{'OK' if errs == 0 else f'{errs} shards differ'}", flush=True)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
@@ -130,10 +137,12 @@ def main(argv=None) -> int:
         if args.pin:
             cmd = ["taskset", "-c", str(i % os.cpu_count())] + cmd
         for f in ("nproc", "local_devices", "port", "steps",
-                  "frames_per_host", "width", "height"):
+                  "frames_per_host", "width", "height", "disp_max"):
             cmd += ["--" + f.replace("_", "-"), str(getattr(args, f))]
         if args.use_pallas:
             cmd.append("--use-pallas")
+        if args.no_validate:
+            cmd.append("--no-validate")
         procs.append(subprocess.Popen(
             cmd, env=env, cwd=ROOT,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))

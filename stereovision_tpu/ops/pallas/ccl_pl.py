@@ -162,8 +162,11 @@ def _fixpoint_call(shapes, stride: int, batch: int = 0, rounds: int = 0):
         # ~7 live i32 frame planes fit the default 16 MB scoped-VMEM cap
         # at KITTI size, but when this call sits inside the pointer-jump
         # while_loop XLA stages operands on the same budget (+2 planes,
-        # measured 17.6 MB) — raise the cap (v5e has 128 MB VMEM).
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
+        # measured 17.6 MB), and batched wide frames stage a full batch
+        # operand on the same stack (measured 102.8 MB at 4x752x2560) —
+        # raise the cap near the hardware total (v5e has 128 MB VMEM).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 2 ** 20),
         interpret=jax.default_backend() == "cpu",
     )
 
@@ -257,7 +260,9 @@ def remove_small_segments(D, p: ElasParams):
     (beyond ~scale 0.4, 3100x940) fall back to the XLA formulation
     (identical results)."""
     H, W = D.shape
-    if _round_up(H, 8) * _round_up(W, 128) * 4 * 9 > 90 * 2 ** 20:
+    # 9 live planes + ~4 planes of batched operand staging (measured
+    # 102.8 MB total at 752x2560), against the 120 MB raised scoped cap
+    if _round_up(H, 8) * _round_up(W, 128) * 4 * 13 > 112 * 2 ** 20:
         from .. import postprocess as post
         return post.remove_small_segments(D, p, 0)
     speckle = p.speckle_size

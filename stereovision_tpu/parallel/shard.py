@@ -67,8 +67,18 @@ class ShardedStereoPipeline:
                     return f(*a)
             return g
 
-        img_s = sh("stream", "tile", None)
-        desc_s = sh("stream", None, "tile", None)
+        # GSPMD requires the sharded row axis to divide evenly; frames
+        # whose height doesn't (e.g. KITTI's 375 rows) replicate the XLA
+        # glue over 'tile' — the Pallas kernels still shard their row
+        # blocks via the per-shard dispatch, which pads Hp to a 'tile'
+        # multiple internally (mesh_ctx.row_multiple)
+        n_tile = int(mesh.shape["tile"])
+        Ho = params.out_shape(width, height)[0]
+        row_t = "tile" if (height % n_tile == 0 and Ho % n_tile == 0) \
+            else None
+        self._row_t = row_t
+        img_s = sh("stream", row_t, None)
+        desc_s = sh("stream", None, row_t, None)
         rep_s = sh("stream")          # replicated over 'tile'
 
         self.stage_a = traced_in_ctx(jax.jit(
@@ -84,8 +94,8 @@ class ShardedStereoPipeline:
             jax.vmap(lambda d1, d2, buf: e._stage_dense_impl(
                 d1, d2, *e.unpack_geometry(buf))),
             in_shardings=(desc_s, desc_s, rep_s),
-            out_shardings=(sh("stream", "tile", None),
-                           sh("stream", "tile", None))))
+            out_shardings=(sh("stream", row_t, None),
+                           sh("stream", row_t, None))))
 
     def _host_geometry_packed(self, d_cans: np.ndarray) -> np.ndarray:
         """Support grids -> (B, nbytes) packed geometry, via the engine's
@@ -126,7 +136,8 @@ class ShardedStereoPipeline:
         geometry back as its local shard — zero extra cross-host traffic
         beyond stage boundaries.  Returns the global (B, Ho, Wo) disparity
         jax.Arrays (each process addresses its own shards)."""
-        img = P("stream", "tile", None)
+        row_t = self._row_t
+        img = P("stream", row_t, None)
         gL = self._global(img, np.asarray(left_local))
         gR = self._global(img, np.asarray(right_local))
         desc1, desc2, d_can = self.stage_a(gL, gR)
