@@ -624,7 +624,10 @@ def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
 # Full-width pair stripes above this padded lane width exceed a safe VMEM
 # budget (~47 i32 planes of (8, Wp) per stripe ≈ 1.5 KB/lane-col); wider
 # frames fall back to the two per-block scans.
-_PAIR_MAX_WP = 5120
+# (proven on hardware at KITTI Wp=1280; wider pair stripes are untested
+# on the current toolchain and the scale-0.5 worker faults are not yet
+# attributed, so stay conservative)
+_PAIR_MAX_WP = 2048
 
 
 def compute_disparity_pair(desc1, desc2, tri_l, tri_r, planes_l, planes_r,

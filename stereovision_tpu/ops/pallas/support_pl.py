@@ -198,6 +198,14 @@ def _support_scan(A, B0, d_lo: int, d_hi: int, W: int,
 # path at small sizes.
 _MAX_FULL_W = 1920
 _CHUNK_W = 1024
+# The chunked mode is bit-exact in interpret mode (tests) but faults the
+# TPU worker at 2484x750 on the current toolchain (3/3 runs, r3 —
+# docs/KNOWN_ISSUES.md); until root-caused it is opt-in on hardware
+# (SV_CHUNK_SUPPORT=1) and wide frames take the XLA formulation.
+def _chunk_enabled():
+    import os
+    return (jax.default_backend() == "cpu"
+            or os.environ.get("SV_CHUNK_SUPPORT", "0") == "1")
 
 
 def support_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
@@ -229,6 +237,9 @@ def support_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
         B = jnp.pad(B, ((0, 0), (0, 0), (d_lo, 0)))[:, :, :W]
 
     Hcp = _round_up(Hc, BH * mesh_ctx.row_multiple())
+    if _round_up(W, 128) > _MAX_FULL_W and not _chunk_enabled():
+        from ..support import support_matches as _xla_support
+        return _xla_support(desc1, desc2, p, apply_filters=apply_filters)
     if _round_up(W, 128) > _MAX_FULL_W:
         CW = _CHUNK_W
         ext = d_hi + 2
