@@ -647,8 +647,14 @@ def compute_disparity_pair(desc1, desc2, tri_l, tri_r, planes_l, planes_r,
     Ho, Wo = p.out_shape(W, H)
     D = p.disp_num
     Wp_probe = _round_up(Wo, BW)
+    # Opt-in (SV_PAIR=1): same-session A/Bs through the tunnel measured
+    # the shared volume neutral-to-slightly-slower end-to-end (12.12 vs
+    # 12.19 FPS; tail 282 vs 238 ms/batch inside a noise band that moved
+    # the IDENTICAL stage A by 52 ms) — the row-level active-list union
+    # gives back part of what the shared SAD saves, and the tunnel hides
+    # the rest.  The two-pass per-block scans stay the default.
     if (p.subsampling or Wp_probe > _PAIR_MAX_WP
-            or os.environ.get("SV_PAIR", "1") == "0"):
+            or os.environ.get("SV_PAIR", "0") != "1"):
         D1 = compute_disparity(desc1, desc2, tri_l, planes_l, grid_l, p,
                                right_image=False)
         D2 = compute_disparity(desc2, desc1, tri_r, planes_r, grid_r, p,
