@@ -92,13 +92,19 @@ def worker(args) -> dict:
     jax.block_until_ready(D1)
 
     # validate this process's shards against a single-device engine
-    errs = 0
+    # (errs=None means validation was skipped — distinct from "0 errors")
+    errs = None
     if not args.no_validate:
+        errs = 0
         single = ElasEngine(p, w, h, use_pallas=args.use_pallas)
         for s in D1.addressable_shards:
             bi = s.index[0].start or 0
             rows = s.index[1]
-            ref = np.asarray(single.process(L[bi], R[bi])[0])[rows]
+            ref = np.asarray(single.process(L[bi], R[bi])[0])
+            if pipe.pad_out:    # padded row sharding (parallel/shard.py)
+                ref = np.pad(ref, ((0, pipe.pad_out), (0, 0)),
+                             constant_values=-10)
+            ref = ref[rows]
             if not np.array_equal(np.asarray(s.data)[0], ref):
                 errs += 1
         print(f"[proc {pid}] shard validation: "
@@ -112,7 +118,8 @@ def worker(args) -> dict:
     fps = args.steps * B / dt
     res = {"process": pid, "mesh": dict(mesh.shape), "steps": args.steps,
            "global_batch": B, "frames_per_s": round(fps, 3),
-           "step_s": round(dt / args.steps, 4), "shard_errors": errs}
+           "step_s": round(dt / args.steps, 4),
+           "shard_errors": "skipped" if errs is None else errs}
     print(f"[proc {pid}] RESULT {json.dumps(res)}", flush=True)
     return res
 
@@ -121,7 +128,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.worker >= 0:
         res = worker(args)
-        return 0 if res["shard_errors"] == 0 else 1
+        return 0 if res["shard_errors"] in (0, "skipped") else 1
 
     env_base = {k: v for k, v in os.environ.items()
                 if k not in ("JAX_PLATFORMS",)}

@@ -29,9 +29,12 @@ def main():
     from stereovision_tpu.ops import postprocess as post
     from stereovision_tpu.ops.reproject import reproject
 
-    W, H = 1242, 375
-    B = 8
-    eng = StereoEngine("stereovision_tpu/data/kitti_2011_09_26.yml", W, H)
+    W = int(os.environ.get("SV_LAB_W", "1242"))
+    H = int(os.environ.get("SV_LAB_H", "375"))
+    B = int(os.environ.get("SV_LAB_B", "8"))
+    scale = 1242.0 / W
+    eng = StereoEngine("stereovision_tpu/data/kitti_2011_09_26.yml", W, H,
+                       scale=scale)
     p = eng.p
     kitti = "/root/reference/datasets/kitti_mini"
     g1 = np.stack([bgr_to_gray(cv2.resize(cv2.imread(
@@ -40,7 +43,7 @@ def main():
         f"{kitti}/image_03/data/{i:010d}.png"), (W, H))) for i in range(B)])
 
     f_a, _ = eng._batched_fns
-    desc1, desc2, d_can = f_a(jnp.asarray(g1), jnp.asarray(g2))
+    desc1, desc2, d_can = f_a(jnp.asarray(np.stack([g1, g2], axis=1)))
     dcs = np.asarray(d_can)
     gs = [eng.elas.host_mid(dcs[i]) for i in range(B)]
     st = {k: jnp.asarray(np.stack([g[k] for g in gs])) for k in gs[0]}

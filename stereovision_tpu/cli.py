@@ -211,7 +211,26 @@ def main(argv=None) -> int:
         viewer = LiveViewer(view3d=args.view3d, record_dir=args.record)
 
     n_frames = args.frames or len(seq)
-    frames = (seq[i % len(seq)] for i in range(n_frames))
+
+    # Async detection overlap (reference std::async(processYOLO),
+    # stereo_vision.cpp:596-598): detection for frame i is dispatched on
+    # a worker thread the moment the frame enters the pipeline, so it
+    # runs concurrently with ELAS of the same/adjacent frames instead of
+    # serializing the emit loop.  Results are collected in order at emit.
+    det_pool = det_futs = None
+    if detector is not None:
+        import concurrent.futures as cf
+        det_pool = cf.ThreadPoolExecutor(max_workers=1)
+        det_futs = {}
+
+    def frames_gen():
+        for i in range(n_frames):
+            l, r = seq[i % len(seq)]
+            if det_pool is not None:
+                det_futs[i] = det_pool.submit(detector.detect, l)
+            yield l, r
+
+    frames = frames_gen()
 
     if args.dump != "none":
         os.makedirs(args.out_dir, exist_ok=True)
@@ -219,7 +238,9 @@ def main(argv=None) -> int:
     def handle(i, out, left):
         dets, cubes = [], []
         if detector is not None:
-            dets = detector.detect(left)
+            fut = det_futs.pop(i, None)
+            dets = fut.result() if fut is not None \
+                else detector.detect(left)
             preds = tracker.get_predicted_boxes()
             tracker.append(dets)
             if len(dets):
@@ -282,6 +303,8 @@ def main(argv=None) -> int:
             handle(i, out, left)
             fps_accum += 1 / max(t["t_t"], 1e-9)
             count += 1
+    if det_pool is not None:
+        det_pool.shutdown(wait=False, cancel_futures=True)
     if count:
         print("AVG_FPS=%f" % (fps_accum / count))
     return 0

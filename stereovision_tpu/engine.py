@@ -19,6 +19,7 @@ so Delaunay overlaps matching of the previous frame.
 from __future__ import annotations
 
 import collections
+import queue
 import time
 from typing import Dict, Iterable, Iterator, Optional, Tuple
 
@@ -96,6 +97,7 @@ class StereoEngine:
         self._dense_tail = jax.jit(self._dense_tail_impl)
         self.timings: Dict[str, float] = {}
         self._executors = None
+        self._fused_warnq: "queue.Queue[str]" = queue.Queue()
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -294,8 +296,12 @@ class StereoEngine:
                         [dcs[i] for i in range(len(dcs))])
                 except Exception:
                     gs = [e.host_mid(dcs[i]) for i in range(len(dcs))]
-                self._fused_warnings = [m for g in gs
-                                        for m in g.get("warnings", ())]
+                # thread-safe queue, drained by the caller only after it
+                # forces completion of the dispatch — the callback runs
+                # asynchronously and multiple tail workers may be in flight
+                for g in gs:
+                    for m in g.get("warnings", ()):
+                        self._fused_warnq.put(m)
                 return np.stack([e.pack_geometry(g) for g in gs])
 
             def run(pairs):
@@ -353,12 +359,29 @@ class StereoEngine:
         def run_tail(entry):
             if fused:
                 t0, n, pairs = entry
-                D1, dmap, points = self._fused_fn(batch)(pairs)
-                for msg in getattr(self, "_fused_warnings", ()):
-                    _warnings.warn("host geometry worker: " + msg)
-                self._fused_warnings = []
-                dmaps = (np.asarray(dmap) if fetch in ("host", "dmap")
-                         else dmap)
+                try:
+                    D1, dmap, points = self._fused_fn(batch)(pairs)
+                    dmaps = (np.asarray(dmap) if fetch in ("host", "dmap")
+                             else dmap)
+                except Exception as err:
+                    msg = str(err)
+                    if "callback" in msg or "UNIMPLEMENTED" in msg:
+                        raise RuntimeError(
+                            "stream_batched(fused=True) requires host "
+                            "callbacks, which this backend rejects (the "
+                            "axon TPU plugin does not support host "
+                            "send/recv callbacks — docs/PERFORMANCE.md). "
+                            "Use fused=False here.") from err
+                    raise
+                # completion is forced by np.asarray above for host/dmap
+                # fetches; only then is the warning queue guaranteed to
+                # hold this dispatch's messages (callbacks run async)
+                try:
+                    while True:
+                        _warnings.warn("host geometry worker: "
+                                       + self._fused_warnq.get_nowait())
+                except queue.Empty:
+                    pass
                 t_dmap = time.perf_counter()
                 pts_np = (np.asarray(points) if fetch == "host" else points)
                 return t0, n, dmaps, pts_np, t_dmap

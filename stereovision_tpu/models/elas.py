@@ -114,12 +114,22 @@ class ElasEngine:
 
     def __init__(self, params: ElasParams, width: int, height: int,
                  rasterize=None, use_pallas: bool = False,
-                 host_filters: bool = True, speckle_max_iters: int = 0):
+                 host_filters: bool = True, speckle_max_iters: int = 0,
+                 row_pad: Tuple[int, int] = (0, 0)):
         # host_filters=True (default): support filtering runs on the host
         # with the reference's exact sequential in-place semantics
         # (hostlib); False keeps the snapshot filters on device (used by
         # fully-fused modes where no host stage exists).
         self.host_filters = host_filters
+        # row_pad=(in_pad, out_pad): the row-sharded pipeline
+        # (parallel/shard.py) pads image rows H -> H+in_pad and output
+        # rows Ho -> Ho+out_pad so both divide the 'tile' axis and GSPMD
+        # can shard the XLA glue.  Stage A then EXPECTS pre-padded
+        # (H+in_pad, W) images; stage B emits (Ho+out_pad, Wo) maps whose
+        # padding rows are -10 and whose real rows are bit-identical to
+        # the unpadded engine (each op takes the true shape for its row
+        # clamps/regions; see ops.descriptor/support/matching/postprocess).
+        self.row_pad_in, self.row_pad_out = row_pad
         self.speckle_max_iters = speckle_max_iters
         self.p = params
         self.width = int(width)
@@ -198,15 +208,18 @@ class ElasEngine:
     # ---- device stage A ---------------------------------------------------
 
     def _stage_support_impl(self, I1, I2):
-        desc1 = compute_descriptor(I1)
-        desc2 = compute_descriptor(I2)
+        th = self.height if self.row_pad_in else 0
+        desc1 = compute_descriptor(I1, true_height=th)
+        desc2 = compute_descriptor(I2, true_height=th)
         if self.use_pallas:
             from ..ops.pallas import support_pl
             d_can = support_pl.support_matches(
-                desc1, desc2, self.p, apply_filters=not self.host_filters)
+                desc1, desc2, self.p, apply_filters=not self.host_filters,
+                true_height=th)
         else:
             d_can = support_matches(desc1, desc2, self.p,
-                                    apply_filters=not self.host_filters)
+                                    apply_filters=not self.host_filters,
+                                    true_height=th)
         return desc1, desc2, d_can
 
     # ---- host middle ------------------------------------------------------
@@ -299,6 +312,15 @@ class ElasEngine:
         if tri_l.ndim == 3 and tri_l.shape[-1] == 3:
             tri_l = expand_tri_spans(tri_l, self.Wo)
             tri_r = expand_tri_spans(tri_r, self.Wo)
+        out_pad = self.row_pad_out
+        th = self.height if self.row_pad_in else 0
+        if out_pad:
+            # padded output lattice: -1 (no triangle) rows make matching
+            # emit -10 there, which every later stage preserves (invalid
+            # pixels never connect/fill/write) — see row_pad in __init__
+            rp = ((0, out_pad), (0, 0))
+            tri_l = jnp.pad(tri_l, rp, constant_values=-1)
+            tri_r = jnp.pad(tri_r, rp, constant_values=-1)
         grid_l = build_grid_mask(pts, p, self.width, self.height,
                                  right_image=False)
         grid_r = build_grid_mask(pts, p, self.width, self.height,
@@ -322,12 +344,14 @@ class ElasEngine:
             # independent scans inside the pair wrapper
             D1, D2 = matching_pl.compute_disparity_pair(
                 desc1, desc2, tri_l, tri_r, planes_l, planes_r,
-                grid_l, grid_r, p)
+                grid_l, grid_r, p, true_height=th, pad_out_rows=out_pad)
         else:
             D1 = match(desc1, desc2, tri_l, planes_l, grid_l, p,
-                       right_image=False)
+                       right_image=False, true_height=th,
+                       pad_out_rows=out_pad)
             D2 = match(desc2, desc1, tri_r, planes_r, grid_r, p,
-                       right_image=True)
+                       right_image=True, true_height=th,
+                       pad_out_rows=out_pad)
 
         D1, D2 = lr_check(D1, D2, p)
         D1 = speckle(D1, p)
@@ -336,14 +360,22 @@ class ElasEngine:
         D1 = post.gap_interpolation(D1, p)
         if not p.postprocess_only_left:
             D2 = post.gap_interpolation(D2, p)
+        tsh = (self.Ho, self.Wo) if out_pad else None
         if p.filter_adaptive_mean:
-            D1 = post.adaptive_mean(D1, p)
+            D1 = post.adaptive_mean(D1, p, true_shape=tsh)
             if not p.postprocess_only_left:
-                D2 = post.adaptive_mean(D2, p)
+                D2 = post.adaptive_mean(D2, p, true_shape=tsh)
         if p.filter_median:
-            D1 = post.median_filter(D1, p)
+            D1 = post.median_filter(D1, p, true_shape=tsh)
             if not p.postprocess_only_left:
-                D2 = post.median_filter(D2, p)
+                D2 = post.median_filter(D2, p, true_shape=tsh)
+        if out_pad:
+            # gap interpolation's border extrapolation may spill values
+            # into the padding rows — re-assert them invalid so the
+            # padded output's contract is clean (real rows + -10 pad)
+            real = jnp.arange(D1.shape[0])[:, None] < self.Ho
+            D1 = jnp.where(real, D1, jnp.float32(-10))
+            D2 = jnp.where(real, D2, jnp.float32(-10))
         return D1, D2
 
     # ---- public entry points ---------------------------------------------

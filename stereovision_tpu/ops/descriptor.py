@@ -54,9 +54,18 @@ def valid_mask(height: int, width: int):
     return v
 
 
-def compute_descriptor(img: jnp.ndarray) -> jnp.ndarray:
+def compute_descriptor(img: jnp.ndarray,
+                       true_height: int = 0) -> jnp.ndarray:
     """img: (H, W) uint8 -> descriptor (16, H, W) uint8 (zero outside the
-    valid region)."""
+    valid region).
+
+    true_height: when the image carries padding rows at the bottom (the
+    row-sharded pipeline pads H to a tile multiple so GSPMD can shard
+    this op's glue — parallel/shard.py), the valid mask is taken from the
+    TRUE height: rows >= true_height-3 zero out, so real rows are
+    bit-identical to the unpadded computation (the valid region
+    [3, true_h-3) never reads a padded row: sobel +-1 and taps +-2 reach
+    at most true_h-2)."""
     du, dv = sobel3x3(img)
     grads = (du.astype(jnp.uint8), dv.astype(jnp.uint8))
     h, w = img.shape
@@ -64,8 +73,9 @@ def compute_descriptor(img: jnp.ndarray) -> jnp.ndarray:
     for src, dy, dx in DESCRIPTOR_TAPS:
         chans.append(_pad_roll(grads[src], dy, dx))
     desc = jnp.stack(chans, axis=0)
-    mask = jnp.asarray(valid_mask(h, w))
-    return jnp.where(mask[None, :, :], desc, 0)
+    mask = np.zeros((h, w), dtype=bool)
+    mask[:true_height or h] = valid_mask(true_height or h, w)
+    return jnp.where(jnp.asarray(mask)[None, :, :], desc, 0)
 
 
 def texture_sum(desc: jnp.ndarray) -> jnp.ndarray:

@@ -33,22 +33,33 @@ _BIG = 2**30  # python int: safe trace-time constant
 def compute_disparity(desc_self: jnp.ndarray, desc_other: jnp.ndarray,
                       tri_id: jnp.ndarray, planes: jnp.ndarray,
                       grid_mask: jnp.ndarray, p: ElasParams,
-                      right_image: bool) -> jnp.ndarray:
+                      right_image: bool, true_height: int = 0,
+                      pad_out_rows: int = 0) -> jnp.ndarray:
     """One matching pass (left or right reference image).
 
     desc_self/other: (16, H, W) uint8; tri_id: (H, W) int32 (-1 = none);
     planes: (T, 4) f32 rows [a, b, c, a_other]; grid_mask: (D, gh, gw) bool.
     Returns D: (Ho, Wo) float32 (-10 invalid), halved under subsampling.
+
+    Row-sharded pipeline support (parallel/shard.py): descriptors may carry
+    bottom padding rows (true_height = real image height) and the output
+    may carry pad_out_rows extra rows so its row count divides the tile
+    axis.  tri_id then arrives on the PADDED output lattice with -1 in the
+    padding rows, which makes those rows -10 (has_tri gates every write);
+    real rows are bit-identical to the unpadded computation (matching is
+    row-local and every row clamp uses the true height).
     """
     _, H, W = desc_self.shape
+    H = true_height or H
     Ho, Wo = p.out_shape(W, H)
+    Ho_tot = Ho + pad_out_rows
     sub = 2 if p.subsampling else 1
     D = p.disp_num
     R = p.plane_radius
     P_tab = p.prior_table()
     off = int(max(512, 1 - int(P_tab.min())))
 
-    v_full = np.arange(Ho) * sub                     # (Ho,)
+    v_full = np.arange(Ho_tot) * sub                 # (Ho_tot,)
     u_full = np.arange(Wo) * sub                     # (Wo,)
     line_rows = np.clip(v_full, 2, H - 3)            # reference elas.cpp:718
 
@@ -65,9 +76,10 @@ def compute_disparity(desc_self: jnp.ndarray, desc_other: jnp.ndarray,
     # lattice).  tri_id arrives either full-lattice (H, W) or already on
     # the output lattice (Ho, Wo) (the span codec encodes the latter under
     # subsampling to shrink H2D).
-    if tri_id.shape == (Ho, Wo):
+    if tri_id.shape == (Ho_tot, Wo):
         tid = tri_id.astype(jnp.int32)
     else:
+        assert pad_out_rows == 0, "padded mode needs lattice-shaped tri_id"
         tid = jax.lax.slice(tri_id, (0, 0), (H, W),
                             (sub, sub))[:Ho, :Wo].astype(jnp.int32)
     has_tri = tid >= 0
@@ -87,10 +99,15 @@ def compute_disparity(desc_self: jnp.ndarray, desc_other: jnp.ndarray,
     # 256-iteration loop is worth the (D*H*W)-bool HBM footprint (~120 MB
     # at KITTI size).
     gs = p.grid_size
-    gm = jnp.repeat(grid_mask, gs, axis=1)[:, :H]
+    rows_needed = (Ho_tot - 1) * sub + 1
+    gm = jnp.repeat(grid_mask, gs, axis=1)
+    if gm.shape[1] < rows_needed:     # padded lattice beyond the cell grid
+        gm = jnp.pad(gm, ((0, 0), (0, rows_needed - gm.shape[1]), (0, 0)))
+    gm = gm[:, :rows_needed]
     gm = jnp.repeat(gm, gs, axis=2)[:, :, :W]
-    gm_px = jax.lax.slice(gm, (0, 0, 0), (D, H, W), (1, sub, sub))
-    gm_px = gm_px[:, :Ho, :Wo]
+    gm_px = jax.lax.slice(gm, (0, 0, 0), (D, rows_needed, W),
+                          (1, sub, sub))
+    gm_px = gm_px[:, :Ho_tot, :Wo]
 
     u_out = u_full.astype(np.int32)[None, :]
     # LUT must be a jax array to be gathered with a traced index; created
@@ -102,11 +119,11 @@ def compute_disparity(desc_self: jnp.ndarray, desc_other: jnp.ndarray,
             Bd = jax.lax.dynamic_slice_in_dim(Bpad, d, W, axis=2)
         else:
             Bd = jax.lax.dynamic_slice_in_dim(Bpad, D - d, W, axis=2)
-        E = jnp.sum(jnp.abs(Ai - Bd.astype(jnp.int32)), axis=0)   # (Ho, W)
+        E = jnp.sum(jnp.abs(Ai - Bd.astype(jnp.int32)), axis=0)
         if sub == 1:
-            Eo = E
+            Eo = E                                            # (Ho_tot, W)
         else:
-            Eo = jax.lax.slice(E, (0, 0), (Ho, W), (1, sub))       # (Ho, Wo)
+            Eo = jax.lax.slice(E, (0, 0), (Ho_tot, W), (1, sub))
 
         in_win = (d >= d_win_lo) & (d <= d_win_hi)
         gslice = jax.lax.dynamic_slice_in_dim(gm_px, d, 1, axis=0)[0]
@@ -124,7 +141,7 @@ def compute_disparity(desc_self: jnp.ndarray, desc_other: jnp.ndarray,
         return jnp.minimum(best, jnp.where(cand, key, _BIG))
 
     best = jax.lax.fori_loop(0, D, body,
-                             jnp.full((Ho, Wo), _BIG, jnp.int32))
+                             jnp.full((Ho_tot, Wo), _BIG, jnp.int32))
 
     # Pixel-level gates (reference elas.cpp:713-736).
     tex = jnp.sum(jnp.abs(Ai - 128), axis=0)[:, u_full]

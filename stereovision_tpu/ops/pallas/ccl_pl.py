@@ -260,9 +260,18 @@ def remove_small_segments(D, p: ElasParams):
     (beyond ~scale 0.4, 3100x940) fall back to the XLA formulation
     (identical results)."""
     H, W = D.shape
-    # 9 live planes + ~4 planes of batched operand staging (measured
-    # 102.8 MB total at 752x2560), against the 120 MB raised scoped cap
-    if _round_up(H, 8) * _round_up(W, 128) * 4 * 13 > 112 * 2 ** 20:
+    # Fall back to the XLA formulation as soon as the kernel's ~7 live
+    # i32 frame planes outgrow the default 16 MB scoped-VMEM budget.
+    # KITTI-size frames (384x1280 = 13.1 MB) are the measured sweet spot
+    # (~5 ms device); r3 raised this guard to 112 MB to let wide frames
+    # (752x2560 = 53.9 MB of live planes) run in-kernel, and the result
+    # was catastrophic VMEM thrash — ~180 s per frame measured on v5e
+    # (scripts/fault_probe.py, r4), which is what made every scale-0.5
+    # sweep run "crash" the tunneled worker (a single dispatch running
+    # for minutes under concurrent pipeline load).  The XLA fixpoint at
+    # the same shape is the configuration r2 measured 1.16 FPS end-to-end
+    # with.  docs/KNOWN_ISSUES.md has the full post-mortem.
+    if _round_up(H, 8) * _round_up(W, 128) * 4 * 7 > 14 * 2 ** 20:
         from .. import postprocess as post
         return post.remove_small_segments(D, p, 0)
     speckle = p.speckle_size

@@ -477,15 +477,25 @@ def _active_lists(active, D):
 
 
 def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
-                      p: ElasParams, right_image: bool) -> jnp.ndarray:
+                      p: ElasParams, right_image: bool,
+                      true_height: int = 0,
+                      pad_out_rows: int = 0) -> jnp.ndarray:
     """Drop-in replacement for ops.matching.compute_disparity using the
-    Pallas scan kernel (same outputs)."""
+    Pallas scan kernel (same outputs).
+
+    true_height / pad_out_rows: row-sharded-pipeline padding support with
+    the same contract as ops.matching.compute_disparity — inputs may carry
+    bottom padding rows, the output carries pad_out_rows extra (-10) rows,
+    real rows stay bit-identical (row-local kernel + true-height clamps).
+    """
     _, H, W = desc_self.shape
+    H = true_height or H
     Ho, Wo = p.out_shape(W, H)
+    Ho_tot = Ho + pad_out_rows
     sub = 2 if p.subsampling else 1
     D = p.disp_num
 
-    v_full = np.arange(Ho) * sub
+    v_full = np.arange(Ho_tot) * sub
     u_full = np.arange(Wo) * sub
     line_rows = np.clip(v_full, 2, H - 3)
 
@@ -498,9 +508,10 @@ def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
 
     # per-pixel plane quantities on the output lattice (tri_id arrives
     # either full-lattice (H, W) or already on the output lattice)
-    if tri_id.shape == (Ho, Wo):
+    if tri_id.shape == (Ho_tot, Wo):
         tid = tri_id.astype(jnp.int32)
     else:
+        assert pad_out_rows == 0, "padded mode needs lattice-shaped tri_id"
         tid = jax.lax.slice(tri_id, (0, 0), (H, W),
                             (sub, sub))[:Ho, :Wo].astype(jnp.int32)
     plq = planes[jnp.clip(tid, 0)]
@@ -511,6 +522,13 @@ def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
     d_lo = jnp.maximum(d_plane - p.plane_radius, 0)
     d_hi = jnp.minimum(d_plane + p.plane_radius, D - 1)
     pvalid = ((jnp.abs(a) < 0.7) & (jnp.abs(a_other) < 0.7)).astype(jnp.int32)
+    if pad_out_rows:
+        # padding rows: empty plane window so straddling blocks don't
+        # widen their active-disparity lists with garbage-plane spans
+        real = np.arange(Ho_tot)[:, None] < Ho
+        d_lo = jnp.where(real, d_lo, 1)
+        d_hi = jnp.where(real, d_hi, 0)
+        pvalid = jnp.where(real, pvalid, 0)
 
     # Packed per-pixel candidate-mask words (D//32, Ho, Wo), built by
     # packing at CELL level first and expanding the packed words — the
@@ -524,15 +542,15 @@ def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
     cb = grid_mask.reshape(nwords, 32, Gh, Gw).astype(jnp.uint32)
     shifts = np.arange(32, dtype=np.uint32)[None, :, None, None]
     cell_bits = jnp.sum(cb << shifts, axis=1).astype(jnp.int32)
-    gy = (v_full // gs).astype(np.int32)             # pixel -> cell row
+    gy = np.minimum(v_full // gs, Gh - 1).astype(np.int32)  # -> cell row
     gx = (u_full // gs).astype(np.int32)
     gm_bits = cell_bits[:, gy][:, :, gx]             # (nwords, Ho, Wo)
 
     # pad to (8,128)-aligned grid; under a mesh context the row blocks must
     # also split evenly across 'tile' shards
-    Hp = _round_up(Ho, BH * mesh_ctx.row_multiple())
+    Hp = _round_up(Ho_tot, BH * mesh_ctx.row_multiple())
     Wp = _round_up(Wo, BW)
-    padHW = ((0, Hp - Ho), (0, Wp - Wo))
+    padHW = ((0, Hp - Ho_tot), (0, Wp - Wo))
 
     def pad2(x, fill=0):
         return jnp.pad(x, padHW, constant_values=fill)
@@ -551,10 +569,10 @@ def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
         # zero-pad one B plane to (16, Hp, Wp + front + BW) and pack
         wb = Bx.shape[2]
         if right_image:
-            Bx = jnp.pad(Bx, ((0, 0), (0, Hp - Ho),
+            Bx = jnp.pad(Bx, ((0, 0), (0, Hp - Ho_tot),
                               (0, Wp - wb + front + BW)))
         else:
-            Bx = jnp.pad(Bx, ((0, 0), (0, Hp - Ho),
+            Bx = jnp.pad(Bx, ((0, 0), (0, Hp - Ho_tot),
                               (front, Wp - wb + BW)))
         return _pack_bytes(Bx)
 
@@ -606,7 +624,7 @@ def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
     args = (A_p,) + b_planes + (gm_p, pad2(d_lo, 1), pad2(d_hi, 0),
                                 pad2(d_plane), pad2(pvalid)) + acts
     key = matching_scan(args, p, W, right_image, (Hp, Wp))
-    key = key[:Ho, :Wo]
+    key = key[:Ho_tot, :Wo]
 
     Ai = A.astype(jnp.int32)
     tex = jnp.sum(jnp.abs(Ai - 128), axis=0)
@@ -631,7 +649,8 @@ _PAIR_MAX_WP = 2048
 
 
 def compute_disparity_pair(desc1, desc2, tri_l, tri_r, planes_l, planes_r,
-                           grid_l, grid_r, p: ElasParams):
+                           grid_l, grid_r, p: ElasParams,
+                           true_height: int = 0, pad_out_rows: int = 0):
     """Both dense matching passes from ONE shared SAD volume.
 
     Full-resolution mode only: the subsampled output lattice is the even
@@ -654,11 +673,14 @@ def compute_disparity_pair(desc1, desc2, tri_l, tri_r, planes_l, planes_r,
     # gives back part of what the shared SAD saves, and the tunnel hides
     # the rest.  The two-pass per-block scans stay the default.
     if (p.subsampling or Wp_probe > _PAIR_MAX_WP
+            or true_height or pad_out_rows
             or os.environ.get("SV_PAIR", "0") != "1"):
         D1 = compute_disparity(desc1, desc2, tri_l, planes_l, grid_l, p,
-                               right_image=False)
+                               right_image=False, true_height=true_height,
+                               pad_out_rows=pad_out_rows)
         D2 = compute_disparity(desc2, desc1, tri_r, planes_r, grid_r, p,
-                               right_image=True)
+                               right_image=True, true_height=true_height,
+                               pad_out_rows=pad_out_rows)
         return D1, D2
 
     v_full = np.arange(Ho)

@@ -209,7 +209,8 @@ def _chunk_enabled():
 
 
 def support_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
-                    p: ElasParams, apply_filters: bool = True) -> jnp.ndarray:
+                    p: ElasParams, apply_filters: bool = True,
+                    true_height: int = 0) -> jnp.ndarray:
     """Drop-in replacement for ops.support.support_matches using the Pallas
     scan kernel (same outputs).
 
@@ -222,6 +223,10 @@ def support_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
     the window interiors back together — bit-identical to the full-width
     scan."""
     _, H, W = desc1.shape
+    # bottom-padded descriptors (row-sharded pipeline): all row math uses
+    # the true height, so padding rows are never addressed — bit-identical
+    # to the unpadded computation (see ops.support.support_matches)
+    H = true_height or H
     step = p.step
     Hc = -(-H // step)
     d_lo = max(p.disp_min, 0)
@@ -239,7 +244,8 @@ def support_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
     Hcp = _round_up(Hc, BH * mesh_ctx.row_multiple())
     if _round_up(W, 128) > _MAX_FULL_W and not _chunk_enabled():
         from ..support import support_matches as _xla_support
-        return _xla_support(desc1, desc2, p, apply_filters=apply_filters)
+        return _xla_support(desc1, desc2, p, apply_filters=apply_filters,
+                            true_height=true_height)
     if _round_up(W, 128) > _MAX_FULL_W:
         CW = _CHUNK_W
         ext = d_hi + 2

@@ -308,7 +308,7 @@ def _adaptive_pass(x, offsets, axis: int, centre_lo: int, centre_hi_excl: int,
     return jnp.where(written, d, x), written
 
 
-def adaptive_mean(D, p: ElasParams):
+def adaptive_mean(D, p: ElasParams, true_shape=None):
     """Separable approximated bilateral filter (reference elas.cpp:1297-1494).
 
     Full resolution: 8-tap window, offsets [-4..+3] around the centre,
@@ -319,8 +319,14 @@ def adaptive_mean(D, p: ElasParams):
     Unwritten positions keep their input values (the reference leaves them
     as uninitialized heap there — zero-information either way since they are
     border pixels; keeping the input is the deterministic choice).
+
+    true_shape=(Ho, Wo): when D carries bottom padding rows (row-sharded
+    pipeline), the write regions use the TRUE shape, so padding rows are
+    untouched and real rows are bit-identical to the unpadded filter (all
+    taps of a real centre read rows < Ho: vertical centres stop 4 short
+    of the true bottom).
     """
-    H, W = D.shape
+    H, W = true_shape or D.shape
     Dc = jnp.where(D < 0, _INVALID, D)
     if p.subsampling:
         offs = range(-2, 2)
@@ -356,14 +362,15 @@ def _median_taps(x, axis: int, fill):
     return jnp.sort(stack, axis=0)[3]
 
 
-def median_filter(D, p: ElasParams):
+def median_filter(D, p: ElasParams, true_shape=None):
     """Two-pass 7-tap separable median (reference elas.cpp:1496-1559).
     Pass 1 writes horizontal medians of D into a zero-initialized temp
     (only where D >= 0, only for u, v in [3, n-4]); pass 2 writes vertical
-    medians of the temp back into D under the same conditions."""
-    H, W = D.shape
+    medians of the temp back into D under the same conditions.
+    true_shape: same padded-row contract as adaptive_mean."""
+    H, W = true_shape or D.shape
     ui = jnp.arange(W)[None, :]
-    vi = jnp.arange(H)[:, None]
+    vi = jnp.arange(D.shape[0])[:, None]
     region = (ui >= 3) & (ui < W - 3) & (vi >= 3) & (vi < H - 3)
 
     med_h = _median_taps(D, axis=1, fill=0.0)

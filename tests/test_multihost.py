@@ -21,10 +21,13 @@ def test_two_process_launcher(tmp_path):
     out = tmp_path / "mh.json"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # height 95 does NOT divide the 2-way tile axis: exercises the padded
+    # row sharding (parallel/shard.py) with per-shard validation
     r = subprocess.run(
         [sys.executable, os.path.join(ROOT, "scripts", "multihost_launch.py"),
          "--nproc", "2", "--local-devices", "2", "--steps", "2",
-         "--frames-per-host", "2", "--port", "12759", "--out", str(out)],
+         "--frames-per-host", "2", "--height", "95",
+         "--port", "12759", "--out", str(out)],
         cwd=ROOT, capture_output=True, text=True, timeout=580, env=env)
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
     res = json.loads(out.read_text())
