@@ -225,6 +225,9 @@ def _fixpoint(conn, init, stride, rounds: int = 0):
 # A/B and for hardware where gathers are cheaper.
 _JUMP_ROUNDS = 0
 _SIZE_GATHER = False
+# Banded-mode band height override (0 = auto-size to the VMEM budget);
+# module-level so tests can force multi-band execution at small shapes.
+_BAND_ROWS = 0
 
 
 def _converge(conn_p, idx, stride):
@@ -250,6 +253,103 @@ def _converge(conn_p, idx, stride):
     return lab
 
 
+def _banded_labels(conn_p, Hb: int):
+    """Band-local component labels: the whole-frame fixpoint kernel run
+    on row bands of Hb rows (each band's ~7 live planes sized to the
+    16 MB scoped-VMEM sweet spot), bands on the kernel's batch grid
+    axis.
+
+    The kernel runs with BAND-LOCAL linear indices and
+    stride = Hb*Wp + 1: the segmented-min re-key computes
+    val - stride*seg_id with seg_id up to the sweep length, so a global
+    stride (Hp*Wp ~ 2.1M at 2484x750) overflows int32 (measured as a
+    wrong partition on hardware, r4).  Band-local values keep the
+    product < 2^31; the band's global offset (band * Hb * Wp, constant
+    within a band) is added afterwards, which preserves the in-band
+    argmin.  Returns (Hp2, Wp) min-global-index-within-band labels.
+    conn_p: (Hp2, Wp) with Hp2 % Hb == 0."""
+    Hp2, Wp = conn_p.shape
+    nb = Hp2 // Hb
+    stride = Hb * Wp + 1
+    assert stride * (max(Hb, Wp) + 1) < 2 ** 31, (Hb, Wp)
+    c3 = conn_p.reshape(nb, Hb, Wp)
+    i3 = jnp.broadcast_to(
+        jnp.arange(Hb * Wp, dtype=jnp.int32).reshape(1, Hb, Wp),
+        (nb, Hb, Wp))
+    from jax.sharding import PartitionSpec as P
+
+    @jax.custom_batching.custom_vmap
+    def run(c, i):
+        call = _fixpoint_call((Hb, Wp), stride, batch=nb)
+        if mesh_ctx.current() is None:
+            return call(c, i)
+        s = P(None, None, None)     # tile-replicated, like _fixpoint
+        return mesh_ctx.shard_kernel(call, (s, s), s, c, i)
+
+    @run.def_vmap
+    def run_vmap(axis_size, in_batched, c, i):
+        args = []
+        for x, b in zip((c, i), in_batched):
+            if not b:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            args.append(x.reshape(axis_size * nb, Hb, Wp))
+        call = _fixpoint_call((Hb, Wp), stride,
+                              batch=mesh_ctx.batch_split(axis_size) * nb)
+        if mesh_ctx.current() is None:
+            out = call(*args)
+        else:
+            _, s_ax, _ = mesh_ctx.current()
+            s = P(s_ax, None, None)   # frames over 'stream' (B-major)
+            out = mesh_ctx.shard_kernel(call, (s, s), s, *args)
+        return out.reshape(axis_size, nb, Hb, Wp), True
+
+    lab_local = run(c3, i3)                       # (nb, Hb, Wp)
+    offs = (jnp.arange(nb, dtype=jnp.int32) * (Hb * Wp))[:, None, None]
+    return (lab_local + offs).reshape(Hp2, Wp)
+
+
+def _merge_bands(lab, conn_p, Hb: int):
+    """Union band-local components across band boundaries.
+
+    Nodes are band-component labels (min global linear index within the
+    band); for every vertically-connected (bottom row of band k, top row
+    of band k+1) pixel pair there is an edge between their labels.  A
+    label-indexed table T (identity-initialized) is relaxed with
+    scatter-mins over the edge list plus path-halving jumps
+    (T[l] <- T[T[l]]) until it stops changing: values only decrease and
+    every merged component's labels all appear on boundary rows (they
+    merged through one), so at the fixpoint T is constant over each
+    merged component — the banded partition equals the whole-frame
+    partition.  All per-round work is O(boundary) gathers/scatters
+    (~(nb-1)*Wp elements); only the final relabel T[lab] is full-frame."""
+    Hp2, Wp = lab.shape
+    nb = Hp2 // Hb
+    if nb == 1:
+        return lab
+    l3 = lab.reshape(nb, Hb, Wp)
+    TL = l3[1:, 0, :].reshape(-1)          # top rows of bands 1..nb-1
+    BL = l3[:-1, Hb - 1, :].reshape(-1)    # bottom rows of bands 0..nb-2
+    up = (((conn_p.reshape(nb, Hb, Wp)[1:, 0, :] >> 2) & 1) > 0).reshape(-1)
+    n = Hp2 * Wp
+    T0 = jnp.arange(n, dtype=jnp.int32)
+
+    def body(state):
+        T, _ = state
+        a = T[TL]
+        b = T[BL]
+        m = jnp.where(up, jnp.minimum(a, b), _BIG)
+        T = T.at[TL].min(m)
+        T = T.at[BL].min(m)
+        # path-halving on the boundary label set
+        T = T.at[TL].min(T[T[TL]])
+        T = T.at[BL].min(T[T[BL]])
+        changed = jnp.any(T[TL] != a) | jnp.any(T[BL] != b)
+        return T, changed
+
+    T, _ = jax.lax.while_loop(lambda s: s[1], body, (T0, jnp.bool_(True)))
+    return T[lab.reshape(-1)].reshape(Hp2, Wp)
+
+
 def remove_small_segments(D, p: ElasParams):
     """Drop-in Pallas replacement for
     ops.postprocess.remove_small_segments (exact fixpoint only).
@@ -260,20 +360,29 @@ def remove_small_segments(D, p: ElasParams):
     (beyond ~scale 0.4, 3100x940) fall back to the XLA formulation
     (identical results)."""
     H, W = D.shape
-    # Fall back to the XLA formulation as soon as the kernel's ~7 live
-    # i32 frame planes outgrow the default 16 MB scoped-VMEM budget.
-    # KITTI-size frames (384x1280 = 13.1 MB) are the measured sweet spot
-    # (~5 ms device); r3 raised this guard to 112 MB to let wide frames
-    # (752x2560 = 53.9 MB of live planes) run in-kernel, and the result
-    # was catastrophic VMEM thrash — ~180 s per frame measured on v5e
+    # Whole-frame mode only while the kernel's ~7 live i32 frame planes
+    # fit the default 16 MB scoped-VMEM budget: KITTI-size frames
+    # (384x1280 = 13.1 MB) are the measured sweet spot (~5 ms device).
+    # r3 raised this guard to 112 MB to let wide frames (752x2560 =
+    # 53.9 MB of live planes) run in-kernel, and the result was
+    # catastrophic VMEM thrash — ~180 s per frame measured on v5e
     # (scripts/fault_probe.py, r4), which is what made every scale-0.5
     # sweep run "crash" the tunneled worker (a single dispatch running
-    # for minutes under concurrent pipeline load).  The XLA fixpoint at
-    # the same shape is the configuration r2 measured 1.16 FPS end-to-end
-    # with.  docs/KNOWN_ISSUES.md has the full post-mortem.
-    if _round_up(H, 8) * _round_up(W, 128) * 4 * 7 > 14 * 2 ** 20:
+    # for minutes under concurrent pipeline load;
+    # docs/KNOWN_ISSUES.md post-mortem).  Larger frames now run BANDED:
+    # the same fixpoint kernel on VMEM-sized row bands + a cross-band
+    # label merge (see _banded_labels/_merge_bands) — identical
+    # partition, whole-frame exact.  SV_CCL_MODE=xla forces the XLA
+    # formulation (A/B baseline; it measured ~520 ms/frame at 2484x750,
+    # 73% of frame time — the r2 wide-frame configuration).
+    import os
+    mode = os.environ.get("SV_CCL_MODE", "auto")
+    banded = _round_up(H, 8) * _round_up(W, 128) * 4 * 7 > 14 * 2 ** 20
+    if mode == "xla" or (banded and mode == "whole"):
         from .. import postprocess as post
         return post.remove_small_segments(D, p, 0)
+    if mode == "banded":
+        banded = True
     speckle = p.speckle_size
     if p.subsampling:
         speckle = int(math.sqrt(float(p.speckle_size)) * 2)
@@ -295,17 +404,34 @@ def remove_small_segments(D, p: ElasParams):
 
     Hp = _round_up(H, 8)
     Wp = _round_up(W, 128)
+    if banded:
+        # band rows sized so 7 live planes stay ~12 MB, then pad Hp to a
+        # band multiple (padding rows: conn 0 -> size-1 singletons,
+        # cropped before the threshold)
+        Hb = _BAND_ROWS or max((12 * 2 ** 20 // (Wp * 4 * 7)) // 8 * 8, 8)
+        Hp = _round_up(Hp, Hb)
     conn_p = jnp.pad(conn, ((0, Hp - H), (0, Wp - W)))   # padding: singletons
     n = Hp * Wp
     stride = n + 1
     idx = jnp.arange(n, dtype=jnp.int32).reshape(Hp, Wp)
+    if not banded:
+        # re-key overflow bound (see _banded_labels): val - stride*seg
+        # must stay inside int32 for the longest sweep
+        assert stride * (max(Hp, Wp) + 1) < 2 ** 31, (Hp, Wp)
 
-    lab = _converge(conn_p, idx, stride)
+    if banded:
+        lab = _merge_bands(_banded_labels(conn_p, Hb), conn_p, Hb)
+    else:
+        lab = _converge(conn_p, idx, stride)
 
     sizes = jnp.zeros((n,), jnp.int32).at[lab.reshape(-1)].add(1)
-    if _SIZE_GATHER:
-        # every pixel's component size is a direct lookup — the scatter-add
-        # histogram above already pays the same indexed-access cost.
+    if _SIZE_GATHER or banded:
+        # every pixel's component size is a direct lookup — the
+        # scatter-add histogram above already pays the same
+        # indexed-access cost.  Banded mode always takes this path: the
+        # min-spread alternative would need its own cross-band
+        # propagation (sizes live at the global root, possibly in
+        # another band).
         size_px = sizes[lab.reshape(-1)].reshape(Hp, Wp)[:H, :W]
     else:
         # round-2 fallback: label == linear index of the component's first

@@ -204,6 +204,51 @@ def test_ccl_kernel_batched():
     assert np.array_equal(ref, mine)
 
 
+@pytest.mark.parametrize("batched", [False, True])
+def test_ccl_kernel_banded(monkeypatch, batched):
+    """Banded mode (wide frames whose planes exceed the whole-frame VMEM
+    budget): per-band fixpoints + cross-band label merge must reproduce
+    the whole-frame partition exactly — forced here at small shapes with
+    16-row bands, with components deliberately spanning several bands
+    (serpentine + vertical bars) and a 200-px threshold that straddles
+    band-local sizes (a band-local count would wrongly remove spanning
+    segments)."""
+    from stereovision_tpu.ops import postprocess as post
+    from stereovision_tpu.ops.pallas import ccl_pl
+    from stereovision_tpu.params import robotics_params
+
+    monkeypatch.setattr(ccl_pl, "_BAND_ROWS", 16)
+    monkeypatch.setenv("SV_CCL_MODE", "banded")
+    rng = np.random.default_rng(21)
+    h, w = 61, 150      # 61 -> 64 padded -> 4 bands
+    import scipy.ndimage as ndi
+
+    def scene(seed):
+        r = np.random.default_rng(seed)
+        base = ndi.gaussian_filter(r.normal(size=(h, w)), 4)
+        D = np.round((base - base.min()) * 40).astype(np.float32)
+        D[r.random((h, w)) < 0.15] = -1
+        D[:, 30] = 90.0                   # vertical bar spans all bands
+        D[17, 40:90] = 55.0               # serpentine through 3 bands
+        D[18:35, 89] = 55.0
+        D[35, 40:90] = 55.0
+        D[36:50, 40] = 55.0
+        return D
+
+    p = robotics_params(disp_max=63, speckle_size=200)
+    if batched:
+        Ds = np.stack([scene(s) for s in (1, 2, 3)])
+        ref = np.stack([np.asarray(post.remove_small_segments(
+            jnp.asarray(d), p, 0)) for d in Ds])
+        mine = np.asarray(jax.vmap(
+            lambda x: ccl_pl.remove_small_segments(x, p))(jnp.asarray(Ds)))
+    else:
+        D = scene(0)
+        ref = np.asarray(post.remove_small_segments(jnp.asarray(D), p, 0))
+        mine = np.asarray(ccl_pl.remove_small_segments(jnp.asarray(D), p))
+    assert np.array_equal(ref, mine)
+
+
 @pytest.mark.parametrize("sub", [False, True])
 def test_lr_kernel_matches_xla(sub):
     from stereovision_tpu.ops import postprocess as post
