@@ -14,9 +14,13 @@ pairs favor A vs B).  A config wins only if it wins in most adjacent
 pairs AND the median paired delta is outside the pair spread.
 
 Usage:
-  python -m stereovision_tpu.bench.ab --mode pair            # SV_PAIR off/on
   python -m stereovision_tpu.bench.ab --mode batch --batches 4,8
+  python -m stereovision_tpu.bench.ab --mode env --env-var "SV_X=0|1"
   python -m stereovision_tpu.bench.ab --mode self            # null A/B
+
+First verdict delivered (r4): the shared-SAD pair kernel lost 4/5
+adjacent pairs (median -1.11 FPS of ~11.4, bench/ab_pair_r4.json) and
+was deleted — see matching_pl.compute_disparity_pair.
 """
 
 from __future__ import annotations
@@ -161,8 +165,8 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="pair",
-                    choices=["pair", "batch", "self", "env"])
+    ap.add_argument("--mode", default="self",
+                    choices=["batch", "self", "env"])
     ap.add_argument("--width", type=int, default=1242)
     ap.add_argument("--height", type=int, default=375)
     ap.add_argument("--sub", type=int, default=0)
@@ -182,15 +186,7 @@ def main(argv=None):
         os.path.abspath(__file__))), "data", "kitti_2011_09_26.yml")
     imgs = load_kitti(W, H)
 
-    if args.mode == "pair":
-        res = interleaved_ab(
-            lambda: _engine(calib, W, H, sub, batch, imgs,
-                            {"SV_PAIR": "0"}),
-            lambda: _engine(calib, W, H, sub, batch, imgs,
-                            {"SV_PAIR": "1"}),
-            imgs, args.seg_frames, args.reps,
-            label_a="two-pass", label_b="pair-kernel")
-    elif args.mode == "batch":
+    if args.mode == "batch":
         ba, bb = (int(x) for x in args.batches.split(","))
         res = interleaved_ab(
             lambda: _engine(calib, W, H, sub, ba, imgs),

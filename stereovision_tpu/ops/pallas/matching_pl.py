@@ -292,172 +292,6 @@ def matching_scan(args, p: ElasParams, W: int, right_image: bool,
     return scan(*args)
 
 
-def _pair_kernel(*refs, D, W, Wp, front, off, prior, radius, batched=False):
-    """Shared-SAD kernel: ONE full-width row stripe per grid step computes
-    the SAD volume once and feeds BOTH matching passes —
-    bwd(u', d) = SAD(R[u'], L[u'+d]) = SAD(L[u], R[u-d]) = fwd(u'+d, d),
-    so the right-image minima are tracked from a 1-plane dynamic roll of
-    the forward cost (same re-indexing as support_pl; reference computes
-    two full volumes, elas_gpu.cu:17-150)."""
-    (A_ref, B_ref, gmL_ref, gmR_ref, dloL_ref, dhiL_ref, dplL_ref, pvL_ref,
-     dloR_ref, dhiR_ref, dplR_ref, pvR_ref, act_ref,
-     outL_ref, outR_ref) = refs
-    lead = (0,) if batched else ()
-
-    A = A_ref[lead]                       # (16, BH, Wp) i32
-    B = B_ref[lead]                       # (4, BH, Wtot) packed i32
-    Wtot = B.shape[-1]
-    u = jax.lax.broadcasted_iota(jnp.int32, (BH, Wp), 1)
-    tabs = []
-    for dlo_ref, dhi_ref, dpl_ref, pv_ref, gm_ref in (
-            (dloL_ref, dhiL_ref, dplL_ref, pvL_ref, gmL_ref),
-            (dloR_ref, dhiR_ref, dplR_ref, pvR_ref, gmR_ref)):
-        tabs.append((dlo_ref[lead], dhi_ref[lead], dpl_ref[lead],
-                     pv_ref[lead] != 0, gm_ref))
-
-    def pass_key(e, d, tab, right_image):
-        dlo, dhi, dpl, pv, gm_ref = tab
-        in_win = (d >= dlo) & (d <= dhi)
-        word = gm_ref[lead + (d >> 5,)]
-        gbit = jnp.bitwise_and(
-            jax.lax.shift_right_logical(word, jnp.bitwise_and(d, 31)), 1) == 1
-        u_warp = (u + d) if right_image else (u - d)
-        warp_ok = (u_warp >= 2) & (u_warp <= W - 3)
-        cand = ((gbit & ~in_win) | in_win) & warp_ok
-        delta = jnp.abs(d - dpl)
-        pr = jnp.zeros((BH, Wp), jnp.int32)
-        for dd in range(radius + 1):
-            pr = jnp.where(delta == dd, np.int32(prior[dd]), pr)
-        pr = jnp.where(in_win & pv, pr, 0)
-        key = ((e + pr + off) * 2 + in_win.astype(jnp.int32)) * 512 + d
-        return jnp.where(cand, key, _BIG)
-
-    def body(t, carry):
-        accL, accR = carry
-        d = act_ref[lead + (0, 0, t)]
-        # Bd(u) = B(u - d); B is front-padded by `front` zero columns, so
-        # the source lane is u + front - d — always in [1, Wtot), no wrap.
-        Bd = pltpu.roll(B, jnp.mod(d - front, Wtot), axis=2)[:, :, :Wp]
-        e = jnp.zeros((BH, Wp), jnp.int32)
-        for byte in range(4):
-            Bb = jnp.bitwise_and(
-                jax.lax.shift_right_logical(Bd, 8 * byte), 255)
-            e = e + jnp.sum(jnp.abs(A[4 * byte:4 * byte + 4] - Bb), axis=0)
-        accL = jnp.minimum(accL, pass_key(e, d, tabs[0], False))
-        # right pass reads e(u + d); wrapped lanes (u >= Wp - d) are masked
-        # by its warp_ok (u + d <= W - 3 < Wp)
-        e_r = pltpu.roll(e, jnp.mod(-d, Wp), axis=1)
-        accR = jnp.minimum(accR, pass_key(e_r, d, tabs[1], True))
-        return accL, accR
-
-    big = jnp.full((BH, Wp), _BIG, jnp.int32)
-    n_act = act_ref[lead + (0, 0, D)]
-    accL, accR = jax.lax.fori_loop(0, n_act, body, (big, big))
-    outL_ref[lead] = accL
-    outR_ref[lead] = accR
-
-
-def _pair_pallas_call(shapes, p: ElasParams, W: int, batch: int = 0):
-    """pallas_call for the shared-SAD pair kernel.  Grid is over row
-    stripes only — every stripe holds the full padded width in VMEM."""
-    Hp, Wp = shapes
-    D = p.disp_num
-    front = D
-    P_tab = p.prior_table()
-    off = int(max(512, 1 - int(P_tab.min())))
-    radius = p.plane_radius
-    prior = tuple(int(P_tab[i]) for i in range(radius + 1))
-    batched = batch > 0
-    Wtot = Wp + front + BW
-
-    kern = functools.partial(_pair_kernel, D=D, W=W, Wp=Wp, front=front,
-                             off=off, prior=prior, radius=radius,
-                             batched=batched)
-
-    if batched:
-        grid = (batch, Hp // BH)
-
-        def bs(block, imap, space=pltpu.VMEM):
-            return pl.BlockSpec((1,) + block,
-                                lambda b, i: (b,) + imap(i),
-                                memory_space=space)
-    else:
-        grid = (Hp // BH,)
-
-        def bs(block, imap, space=pltpu.VMEM):
-            return pl.BlockSpec(block, imap, memory_space=space)
-
-    def plane():
-        return bs((BH, Wp), lambda i: (i, 0))
-
-    def gm():
-        return bs((D // 32, BH, Wp), lambda i: (0, i, 0))
-
-    in_specs = ([bs((16, BH, Wp), lambda i: (0, i, 0)),
-                 bs((4, BH, Wtot), lambda i: (0, i, 0)),
-                 gm(), gm()]
-                + [plane() for _ in range(8)]
-                + [bs((1, 1, D + 1), lambda i: (i, 0, 0), pltpu.SMEM)])
-
-    act_frac = 0.25
-    flops = int(2 * 17 * D * act_frac * Hp * Wp) * max(batch, 1)
-    bytes_acc = (16 * 4 * Hp * Wp
-                 + int(4 * 4 * D * act_frac) * Hp * Wp) * max(batch, 1)
-    lead = (batch,) if batched else ()
-    out = jax.ShapeDtypeStruct(lead + (Hp, Wp), jnp.int32)
-    return pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=(plane(), plane()),
-        out_shape=(out, out),
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=bytes_acc, transcendentals=0),
-        interpret=jax.default_backend() == "cpu",
-    )
-
-
-def _pair_shard_specs(batched: bool):
-    from jax.sharding import PartitionSpec as P
-    _, s_ax, t_ax = mesh_ctx.current()
-    lead = (s_ax,) if batched else ()
-    in_specs = ([P(*lead, None, t_ax, None)] * 4          # A, B, gmL, gmR
-                + [P(*lead, t_ax, None)] * 8              # plane tables
-                + [P(*lead, t_ax, None, None)])           # active list
-    return tuple(in_specs), (P(*lead, t_ax, None), P(*lead, t_ax, None))
-
-
-def matching_pair_scan(args, p: ElasParams, W: int, shapes):
-    """Dispatch the shared-SAD pair kernel (vmap- and mesh-capable, same
-    pattern as matching_scan)."""
-    n_t = mesh_ctx.row_multiple()
-    loc = (shapes[0] // n_t, shapes[1])
-
-    @jax.custom_batching.custom_vmap
-    def scan(*a):
-        call = _pair_pallas_call(loc, p, W)
-        if n_t == 1 and mesh_ctx.current() is None:
-            return call(*a)
-        in_s, out_s = _pair_shard_specs(batched=False)
-        return mesh_ctx.shard_kernel(call, in_s, out_s, *a)
-
-    @scan.def_vmap
-    def scan_vmap(axis_size, in_batched, *a):
-        full = []
-        for x, b in zip(a, in_batched):
-            if not b:
-                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-            full.append(x)
-        b_loc = mesh_ctx.batch_split(axis_size)
-        call = _pair_pallas_call(loc, p, W, batch=b_loc)
-        if mesh_ctx.current() is None:
-            return call(*full), (True, True)
-        in_s, out_s = _pair_shard_specs(batched=True)
-        return mesh_ctx.shard_kernel(call, in_s, out_s, *full), (True, True)
-
-    return scan(*args)
-
-
 def _pack_bytes(x):
     """(16, H, Wx) u8-valued -> (4, H, Wx) i32, byte j of plane k = x[4k+j]."""
     shifts4 = np.arange(4, dtype=np.uint32)[None, :, None, None] * 8
@@ -639,147 +473,26 @@ def compute_disparity(desc_self, desc_other, tri_id, planes, grid_mask,
     return out
 
 
-# Full-width pair stripes above this padded lane width exceed a safe VMEM
-# budget (~47 i32 planes of (8, Wp) per stripe ≈ 1.5 KB/lane-col); wider
-# frames fall back to the two per-block scans.
-# (proven on hardware at KITTI Wp=1280; wider pair stripes are untested
-# on the current toolchain and the scale-0.5 worker faults are not yet
-# attributed, so stay conservative)
-_PAIR_MAX_WP = 2048
-
-
 def compute_disparity_pair(desc1, desc2, tri_l, tri_r, planes_l, planes_r,
                            grid_l, grid_r, p: ElasParams,
                            true_height: int = 0, pad_out_rows: int = 0):
-    """Both dense matching passes from ONE shared SAD volume.
+    """Both dense matching passes (left and right reference image).
 
-    Full-resolution mode only: the subsampled output lattice is the even
-    columns of each image, so fwd reads (even L, parity-of-d R) columns
-    while bwd reads (even R, parity-of-d L) — the odd-d SADs are disjoint
-    between the passes and nothing is shared; subsampled mode (and frames
-    too wide for full-row VMEM stripes) falls back to the two independent
-    per-block scans.  Returns (D1, D2), bit-identical to calling
-    compute_disparity twice (reference computes two full cost volumes,
-    src/gpu_includes/elas_gpu/elas_gpu.cu:17-150)."""
-    import os
-    _, H, W = desc1.shape
-    Ho, Wo = p.out_shape(W, H)
-    D = p.disp_num
-    Wp_probe = _round_up(Wo, BW)
-    # Opt-in (SV_PAIR=1): same-session A/Bs through the tunnel measured
-    # the shared volume neutral-to-slightly-slower end-to-end (12.12 vs
-    # 12.19 FPS; tail 282 vs 238 ms/batch inside a noise band that moved
-    # the IDENTICAL stage A by 52 ms) — the row-level active-list union
-    # gives back part of what the shared SAD saves, and the tunnel hides
-    # the rest.  The two-pass per-block scans stay the default.
-    if (p.subsampling or Wp_probe > _PAIR_MAX_WP
-            or true_height or pad_out_rows
-            or os.environ.get("SV_PAIR", "0") != "1"):
-        D1 = compute_disparity(desc1, desc2, tri_l, planes_l, grid_l, p,
-                               right_image=False, true_height=true_height,
-                               pad_out_rows=pad_out_rows)
-        D2 = compute_disparity(desc2, desc1, tri_r, planes_r, grid_r, p,
-                               right_image=True, true_height=true_height,
-                               pad_out_rows=pad_out_rows)
-        return D1, D2
-
-    v_full = np.arange(Ho)
-    u_full = np.arange(Wo)
-    line_rows = np.clip(v_full, 2, H - 3)
-    A1 = desc1[:, line_rows, :]
-    A2 = desc2[:, line_rows, :]
-
-    Hp = _round_up(Ho, BH * mesh_ctx.row_multiple())
-    Wp = Wp_probe
-    padHW = ((0, Hp - Ho), (0, Wp - Wo))
-
-    def pad2(x, fill=0):
-        return jnp.pad(x, padHW, constant_values=fill)
-
-    A_p = jnp.pad(A1, ((0, 0),) + padHW)
-    A_p = A_p.reshape(4, 4, Hp, Wp).transpose(1, 0, 2, 3) \
-             .reshape(16, Hp, Wp).astype(jnp.int32)
-    front = D
-    B_p = _pack_bytes(jnp.pad(A2, ((0, 0), (0, Hp - Ho),
-                                   (front, Wp - W + BW))))
-
-    gs = p.grid_size
-    nwords = D // 32
-    shifts = np.arange(32, dtype=np.uint32)[None, :, None, None]
-    gy = (v_full // gs).astype(np.int32)
-    gx = (u_full // gs).astype(np.int32)
-    nbi, nbj = Hp // BH, Wp // BW
-    bi, bj = np.arange(nbi), np.arange(nbj)
-    rlo = gy[np.minimum(bi * BH, Ho - 1)]
-    rhi = gy[np.minimum((bi + 1) * BH - 1, Ho - 1)]
-    valid_i = (bi * BH) < Ho
-    clo = gx[np.minimum(bj * BW, Wo - 1)]
-    chi = gx[np.minimum((bj + 1) * BW - 1, Wo - 1)]
-    valid_j = (bj * BW) < Wo
-    dall = np.arange(D, dtype=np.int32)[:, None, None]
-
-    def pass_prep(tri_id, planes, grid_mask):
-        """Per-pass plane tables, packed candidate words, and block-level
-        active presence — identical prep to compute_disparity."""
-        if tri_id.shape == (Ho, Wo):
-            tid = tri_id.astype(jnp.int32)
-        else:
-            tid = jax.lax.slice(tri_id, (0, 0), (H, W),
-                                (1, 1))[:Ho, :Wo].astype(jnp.int32)
-        plq = planes[jnp.clip(tid, 0)]
-        a, b, c, a_other = plq[..., 0], plq[..., 1], plq[..., 2], plq[..., 3]
-        uf = u_full.astype(np.float32)[None, :]
-        vf = v_full.astype(np.float32)[:, None]
-        d_plane = jnp.trunc(a * uf + b * vf + c).astype(jnp.int32)
-        d_lo = jnp.maximum(d_plane - p.plane_radius, 0)
-        d_hi = jnp.minimum(d_plane + p.plane_radius, D - 1)
-        pvalid = ((jnp.abs(a) < 0.7)
-                  & (jnp.abs(a_other) < 0.7)).astype(jnp.int32)
-
-        cb = grid_mask.reshape(nwords, 32, *grid_mask.shape[1:]) \
-                      .astype(jnp.uint32)
-        cell_bits = jnp.sum(cb << shifts, axis=1).astype(jnp.int32)
-        gm_bits = cell_bits[:, gy][:, :, gx]
-        gm_p = jnp.pad(gm_bits, ((0, 0),) + padHW)
-
-        ci = jnp.pad(jnp.cumsum(grid_mask.astype(jnp.int32), axis=1),
-                     ((0, 0), (1, 0), (0, 0)))
-        row_any = (ci[:, rhi + 1, :] - ci[:, rlo, :]) > 0
-        cj = jnp.pad(jnp.cumsum(row_any.astype(jnp.int32), axis=2),
-                     ((0, 0), (0, 0), (1, 0)))
-        gm_blk = (cj[:, :, chi + 1] - cj[:, :, clo]) > 0
-        gm_blk = gm_blk & jnp.asarray(valid_i[None, :, None]
-                                      & valid_j[None, None, :])
-        lo_p = pad2(d_lo, D)
-        hi_p = pad2(d_hi, -1)
-        lo_blk = jnp.min(lo_p.reshape(nbi, BH, nbj, BW), axis=(1, 3))
-        hi_blk = jnp.max(hi_p.reshape(nbi, BH, nbj, BW), axis=(1, 3))
-        active = gm_blk | ((dall >= lo_blk[None]) & (dall <= hi_blk[None]))
-        tabs = (gm_p, pad2(d_lo, 1), pad2(d_hi, 0), pad2(d_plane),
-                pad2(pvalid))
-        return tabs, active, tid
-
-    tabsL, actL, tidL = pass_prep(tri_l, planes_l, grid_l)
-    tabsR, actR, tidR = pass_prep(tri_r, planes_r, grid_r)
-    # ONE row-level active list: a stripe's SAD serves both passes, so it
-    # runs over the union of the two passes' needs anywhere in the row
-    act_row = jnp.any(actL | actR, axis=2)[:, :, None]     # (D, nbi, 1)
-    acts = _active_lists(act_row, D)                        # (nbi, 1, D+1)
-
-    args = ((A_p, B_p, tabsL[0], tabsR[0])
-            + tabsL[1:] + tabsR[1:] + (acts,))
-    keyL, keyR = matching_pair_scan(args, p, W, (Hp, Wp))
-
-    def finish(key, A, tid, right_image):
-        key = key[:Ho, :Wo]
-        tex = jnp.sum(jnp.abs(A.astype(jnp.int32) - 128), axis=0)
-        u_out = u_full.astype(np.int32)[None, :]
-        u_ok = (u_out >= 2) & (u_out <= W - 3)
-        visited = (tid >= 0) & u_ok & (tex >= p.match_texture)
-        ok = visited & (key < _BIG)
-        d_best = jnp.mod(key, 512).astype(jnp.float32)
-        return jnp.where(ok, d_best,
-                         jnp.where(visited, jnp.float32(-1),
-                                   jnp.float32(-10)))
-
-    return finish(keyL, A1, tidL, False), finish(keyR, A2, tidR, True)
+    A shared-SAD single-kernel variant (one cost volume feeding both
+    passes via bwd(u', d) = fwd(u'+d, d), mirroring what the reference
+    GPU avoids recomputing, src/parallel_includes/elas/elas_gpu.cu:17-150)
+    was built in r3 and DELETED in r4 after a drift-controlled verdict:
+    the interleaved A/B harness (bench.ab --mode pair, 5 adjacent
+    segment pairs in one session, bench/ab_pair_r4.json) measured the
+    shared volume slower in 4/5 pairs, median -1.11 FPS of ~11.4 at
+    KITTI full-res batch 8 — the full-width stripe scans the UNION of
+    every block's active disparities for both passes, which costs more
+    than the shared SAD saves.  The per-block two-pass scans below are
+    the production path."""
+    D1 = compute_disparity(desc1, desc2, tri_l, planes_l, grid_l, p,
+                           right_image=False, true_height=true_height,
+                           pad_out_rows=pad_out_rows)
+    D2 = compute_disparity(desc2, desc1, tri_r, planes_r, grid_r, p,
+                           right_image=True, true_height=true_height,
+                           pad_out_rows=pad_out_rows)
+    return D1, D2

@@ -296,10 +296,11 @@ def _pair_setup(h, w, disp_max, seed=3):
             plane_table(g, "r"), gm_l, gm_r)
 
 
-def test_matching_pair_kernel_matches_xla(monkeypatch):
-    """The shared-SAD pair kernel is bit-identical to the two independent
-    XLA passes."""
-    monkeypatch.setenv("SV_PAIR", "1")   # kernel is opt-in
+def test_matching_pair_wrapper_matches_xla():
+    """compute_disparity_pair (the two-pass production path; the r3
+    shared-SAD kernel was deleted in r4 after losing its drift-controlled
+    A/B — see the wrapper docstring) stays bit-identical to the two
+    independent XLA passes."""
     (p, desc1, desc2, tri_l, tri_r, pl_l, pl_r,
      gm_l, gm_r) = _pair_setup(64, 256, disp_max=63)
     Dx1 = np.asarray(matching.compute_disparity(
@@ -312,8 +313,7 @@ def test_matching_pair_kernel_matches_xla(monkeypatch):
     assert np.array_equal(Dx2, np.asarray(P2))
 
 
-def test_matching_pair_kernel_batched_rule(monkeypatch):
-    monkeypatch.setenv("SV_PAIR", "1")
+def test_matching_pair_wrapper_batched_rule():
     (p, desc1, desc2, tri_l, tri_r, pl_l, pl_r,
      gm_l, gm_r) = _pair_setup(32, 128, disp_max=31, seed=4)
     S1, S2 = matching_pl.compute_disparity_pair(
