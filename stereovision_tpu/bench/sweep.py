@@ -93,11 +93,13 @@ def run_sweep(kitti_path: str, calib: str,
                        "avg_fps": round(fps, 2)}
                 print(row, file=sys.stderr)
                 rows.append(row)
-    if out_csv and rows:
-        with open(out_csv, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(rows[0]))
-            w.writeheader()
-            w.writerows(rows)
+                if out_csv:
+                    # rewrite after every row: long grids survive the run
+                    # being killed partway
+                    with open(out_csv, "w", newline="") as f:
+                        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+                        w.writeheader()
+                        w.writerows(rows)
     return rows
 
 
