@@ -218,17 +218,33 @@ def main(argv=None) -> int:
     # runs concurrently with ELAS of the same/adjacent frames instead of
     # serializing the emit loop.  Results are collected in order at emit.
     det_pool = det_futs = None
+    det_group = max(args.batch, 1)
     if detector is not None:
         import concurrent.futures as cf
         det_pool = cf.ThreadPoolExecutor(max_workers=1)
         det_futs = {}
+        det_buf = []
+
+    def flush_dets():
+        if det_buf:
+            fut = det_pool.submit(detector.detect_batch,
+                                  [f for _, f in det_buf])
+            for k, (j, _) in enumerate(det_buf):
+                det_futs[j] = (fut, k)
+            det_buf.clear()
 
     def frames_gen():
         for i in range(n_frames):
             l, r = seq[i % len(seq)]
             if det_pool is not None:
-                det_futs[i] = det_pool.submit(detector.detect, l)
+                # detection batches match the pipeline batch: ONE jitted
+                # forward per group instead of a dispatch per frame
+                det_buf.append((i, l))
+                if len(det_buf) >= det_group:
+                    flush_dets()
             yield l, r
+        if det_pool is not None:
+            flush_dets()
 
     frames = frames_gen()
 
@@ -238,13 +254,16 @@ def main(argv=None) -> int:
     def handle(i, out, left):
         dets, cubes = [], []
         if detector is not None:
-            fut = det_futs.pop(i, None)
-            dets = fut.result() if fut is not None \
+            ent = det_futs.pop(i, None)
+            dets = ent[0].result()[ent[1]] if ent is not None \
                 else detector.detect(left)
             preds = tracker.get_predicted_boxes()
             tracker.append(dets)
             if len(dets):
-                pos = eng.object_positions(np.asarray(out["points"]),
+                # out["points"] may be a device array (tracking-only mode
+                # keeps the cloud on device: the centroid reduction runs
+                # there, so an 11 MB/frame host fetch would be waste)
+                pos = eng.object_positions(out["points"],
                                            np.array([[d.x, d.y, d.w, d.h]
                                                      for d in dets]))
                 for d, xyz in zip(dets, pos):
@@ -277,7 +296,9 @@ def main(argv=None) -> int:
 
     fps_accum = 0.0
     count = 0
-    fetch = "host" if (args.dump != "none" or args.object_track) else "dmap"
+    # host fetch only when frames must be materialized (dumps); tracking
+    # alone consumes the cloud on device (object_positions)
+    fetch = "host" if args.dump != "none" else "dmap"
     if args.batch > 0:
         for i, out in enumerate(eng.stream_batched(frames, batch=args.batch,
                                                    fetch=fetch)):

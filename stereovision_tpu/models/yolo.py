@@ -317,13 +317,36 @@ class YoloV4Tiny:
                nms_threshold: float = NMS_THRESHOLD) -> List[Detection]:
         """frame_bgr: (H, W, 3) uint8.  Returns Detection list in frame
         pixel coordinates (reference processYOLO semantics)."""
-        fh, fw = frame_bgr.shape[:2]
-        rgb = np.ascontiguousarray(frame_bgr[..., ::-1])
-        img = _resize_bilinear(rgb, self.size, self.size)
-        x = jnp.asarray(img[None].astype(np.float32) / 255.0)
-        outs = [np.asarray(o)[0] for o in self._fwd(x)]
-        rows = np.concatenate(outs, axis=0)
+        return self.detect_batch([frame_bgr], conf_threshold,
+                                 nms_threshold)[0]
 
+    def detect_batch(self, frames_bgr,
+                     conf_threshold: float = CONFIDENCE_THRESHOLD,
+                     nms_threshold: float = NMS_THRESHOLD
+                     ) -> List[List[Detection]]:
+        """Detect on a whole list of frames with ONE jitted forward.
+
+        Through a high-latency link every dispatch costs ~25 ms fixed, so
+        per-frame detection serializes a dispatch per frame; batching the
+        forward amortizes it across the pipeline's frame batch (the
+        reference's std::async overlap assumed microsecond GPU launches,
+        stereo_vision.cpp:596-598).  Per-frame results are identical to
+        detect() on each frame."""
+        imgs = np.stack([
+            _resize_bilinear(np.ascontiguousarray(f[..., ::-1]),
+                             self.size, self.size) for f in frames_bgr])
+        x = jnp.asarray(imgs.astype(np.float32) / 255.0)
+        # concatenate the detection heads on device: ONE host fetch per
+        # batch instead of one per head (each fetch pays link latency)
+        rows_all = np.asarray(jnp.concatenate(self._fwd(x), axis=1))
+        return [self._rows_to_dets(
+                    rows_all[i], frames_bgr[i].shape[:2],
+                    conf_threshold, nms_threshold)
+                for i in range(len(frames_bgr))]
+
+    def _rows_to_dets(self, rows, frame_hw, conf_threshold,
+                      nms_threshold) -> List[Detection]:
+        fh, fw = frame_hw
         dets: List[Detection] = []
         nc = rows.shape[1] - 5
         for c in range(nc):
