@@ -128,8 +128,11 @@ def run_stage(stage: str, W: int, H: int) -> dict:
             D1 = f(desc1, desc2, tri_l, pl_l, grid_l)
             fetch1(D1)
         elif stage == "matching_pair":
+            # NOTE: the shared-SAD pair kernel was deleted in r4 (lost a
+            # drift-controlled A/B, bench/ab_pair_r4.json); this stage now
+            # measures compute_disparity_pair's two-pass delegate — i.e.
+            # both dense passes back-to-back in one dispatch.
             from stereovision_tpu.ops.pallas import matching_pl
-            matching_pl._PAIR_MAX_WP = 4096
             f = jax.jit(lambda *a: matching_pl.compute_disparity_pair(
                 *a, p))
             D1, D2 = f(desc1, desc2, tri_l, tri_r, pl_l, pl_r,

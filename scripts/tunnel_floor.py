@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Measured tunnel-floor microbenchmark (VERDICT r4 weak #3 / next #1c).
+
+Question: at the tiny subsampled sweep shapes (scale 2.0-3.0), is the
+measured FPS bounded by the axon tunnel's dispatch+transfer floor rather
+than by compute?  r4 argued "roughly 110-200 FPS" from a back-of-envelope;
+this script MEASURES the floor: it runs the real `stream_batched`
+pipeline machinery (same prefetch thread, same worker threads, same
+crossing pattern — image upload, stage-A dispatch, support fetch,
+geometry upload, tail dispatch, dmap fetch) with the device functions
+replaced by trivial same-shape kernels (a broadcast of the input max, so
+nothing constant-folds) and the host geometry stage replaced by a cached
+result.  The resulting FPS is what ANY implementation of this pipeline
+shape could achieve through the tunnel — zero device compute, zero host
+geometry compute, transfers and dispatches only.
+
+Output: bench/tunnel_floor.json with one row per (scale, sub) config:
+  {"scale": 2.5, "sub": 1, "batch": 16, "floor_fps": ...,
+   "measured_fps": <sweep row>, "cuda_fps": ...}
+
+A sweep row whose measured FPS is within ~noise of its floor_fps is
+tunnel-floor-limited: the loss vs the reference's in-machine GPU
+(microsecond launches) is the link, not the kernels.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def floor_fps_for(W, H, sub, batch, n_frames=160, pipeline_depth=3):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from stereovision_tpu.engine import StereoEngine
+
+    calib = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "stereovision_tpu", "data",
+        "kitti_2011_09_26.yml")
+    eng = StereoEngine(calib, W, H, subsampling=sub)
+    e = eng.elas
+
+    # one real frame through stage A to learn the on-device shapes
+    rng = np.random.default_rng(0)
+    g1 = rng.integers(0, 255, (H, W), np.uint8)
+    g2 = rng.integers(0, 255, (H, W), np.uint8)
+    desc1, desc2, d_can = e._stage_support(jnp.asarray(g1), jnp.asarray(g2))
+    d_shape, d_dtype = desc1.shape, desc1.dtype
+    c_shape, c_dtype = d_can.shape, d_can.dtype
+    g = e.host_mid(np.asarray(d_can))
+    nbytes = e._geo_layout[1]
+    Ho, Wo = e.Ho, e.Wo
+
+    # trivial same-shape stand-ins for the two batched device programs;
+    # each output depends on the input's max so nothing constant-folds,
+    # but the device work is a single reduction + broadcasts (~free)
+    def stub_a(pairs):
+        s = pairs.max().astype(jnp.int32)
+        B = pairs.shape[0]
+        mk = lambda shp, dt: jnp.broadcast_to(
+            s.astype(dt if jnp.issubdtype(dt, jnp.integer) else jnp.int32),
+            (B,) + tuple(shp)).astype(dt)
+        return (mk(d_shape, d_dtype), mk(d_shape, d_dtype),
+                mk(c_shape, c_dtype))
+
+    def stub_tail(desc1, desc2, bufs):
+        s = (bufs.max().astype(jnp.int32)
+             + desc1.ravel()[0].astype(jnp.int32))
+        B = bufs.shape[0]
+        D1 = jnp.broadcast_to(s.astype(jnp.float32), (B, Ho, Wo))
+        dmap = D1.astype(jnp.uint8)
+        points = jnp.broadcast_to(s.astype(jnp.float32),
+                                  (B, eng.pc_h, eng.pc_w, 3))
+        return D1, dmap, points
+
+    eng._batched_cache = (jax.jit(stub_a), jax.jit(stub_tail))
+    # host geometry: cached result, zero compute (pack_geometry's memcpy
+    # stays — it is part of transport prep)
+    e.host_mid_parallel = lambda dcs, workers=4: [g for _ in dcs]
+
+    imgs = [(rng.integers(0, 255, (H, W, 3), np.uint8),
+             rng.integers(0, 255, (H, W, 3), np.uint8)) for _ in range(4)]
+
+    def frames(n):
+        for i in range(n):
+            yield imgs[i % len(imgs)]
+
+    for _ in eng.stream_batched(frames(3 * batch), batch=batch,
+                                fetch="dmap", pipeline_depth=pipeline_depth):
+        pass
+    t0 = time.perf_counter()
+    n = 0
+    for _ in eng.stream_batched(frames(n_frames), batch=batch,
+                                fetch="dmap", pipeline_depth=pipeline_depth):
+        n += 1
+    fps = n / (time.perf_counter() - t0)
+    eng.close()
+    return fps
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax_sv"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    # (scale, sub, batch from the sweep's batch policy, measured sweep FPS,
+    #  reference CUDA FPS) — the r4/r5 losing tiny rows plus 1.5 sub as a
+    # mid-size anchor
+    rows = [
+        (1.5, 1, 9, None, 46.30),
+        (2.0, 1, 16, None, 78.26),
+        (2.5, 0, 32, None, 61.39),
+        (2.5, 1, 16, None, 117.30),
+        (3.0, 1, 16, None, 166.44),
+    ]
+    out = []
+    for scale, sub, batch, measured, cuda in rows:
+        W, H = int(1242 / scale), int(375 / scale)
+        # mirror sweep.py's output-lattice batch cap policy
+        ref_px = 1242 * 375
+        b0 = 4 if sub else 8
+        batch = max(1, min(4 * b0, b0 * ref_px // (W * H)))
+        reps = []
+        for _ in range(3):
+            reps.append(floor_fps_for(W, H, bool(sub), batch))
+        reps.sort()
+        row = {"scale": scale, "sub": sub, "width": W, "height": H,
+               "batch": batch, "floor_fps": round(reps[1], 1),
+               "floor_fps_runs": [round(r, 1) for r in reps],
+               "cuda_fps": cuda}
+        log(row)
+        out.append(row)
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "bench",
+                "tunnel_floor.json"), "w") as f:
+            json.dump({"note": "empty-pipeline FPS through the axon "
+                       "tunnel: real stream_batched machinery, trivial "
+                       "device kernels, cached host geometry — the "
+                       "ceiling ANY implementation could reach at this "
+                       "shape/batch through this link",
+                       "rows": out}, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -227,8 +227,16 @@ def main(argv=None) -> int:
 
     def flush_dets():
         if det_buf:
-            fut = det_pool.submit(detector.detect_batch,
-                                  [f for _, f in det_buf])
+            # pad a short final group to det_group by replicating the last
+            # frame (extra results discarded): detect_batch is jitted per
+            # batch size, and an odd-sized tail group would trigger a fresh
+            # multi-minute remote trace at the end of every run whose frame
+            # count isn't a batch multiple (mirrors stream_batched's
+            # short-tail padding)
+            group = [f for _, f in det_buf]
+            while len(group) < det_group:
+                group.append(group[-1])
+            fut = det_pool.submit(detector.detect_batch, group)
             for k, (j, _) in enumerate(det_buf):
                 det_futs[j] = (fut, k)
             det_buf.clear()

@@ -93,11 +93,33 @@ class StereoEngine:
         self.robot_frame = robot_frame
         self._reproject = jax.jit(self._reproject_impl)
         # Fused dense stage + reprojection: one device dispatch for the
-        # whole back half of the frame.
-        self._dense_tail = jax.jit(self._dense_tail_impl)
+        # whole back half of the frame.  Takes the five host-geometry
+        # arrays packed into ONE uint8 buffer (ElasEngine.pack_geometry):
+        # each jnp.asarray is a separate host->device dispatch at ~25 ms
+        # through the tunnel, so the single-frame paths (process_frame /
+        # stream — the live-camera mode) ship one buffer like the batched
+        # path instead of five arrays (4 crossings/frame saved).
+        self._dense_tail = jax.jit(
+            lambda desc1, desc2, buf: self._dense_tail_impl(
+                desc1, desc2, *self.elas.unpack_geometry(buf)))
         self.timings: Dict[str, float] = {}
         self._executors = None
         self._fused_warnq: "queue.Queue[str]" = queue.Queue()
+
+    def _drain_fused_warnings(self):
+        """Surface host-geometry worker warnings queued by the fused-mode
+        pure_callback.  The queue is engine-level: callbacks run async and
+        multiple dispatches may be in flight, so messages are not
+        attributable to a specific batch — they are emitted as soon as
+        they are seen, plus once after the stream ends (no loss under
+        fetch='device', where nothing forces completion mid-stream)."""
+        import warnings as _warnings
+        try:
+            while True:
+                _warnings.warn("host geometry worker: "
+                               + self._fused_warnq.get_nowait())
+        except queue.Empty:
+            pass
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -168,10 +190,8 @@ class StereoEngine:
         return D1, dmap, points
 
     def _run_dense(self, desc1, desc2, g):
-        return self._dense_tail(
-            desc1, desc2, jnp.asarray(g["pts"]), jnp.asarray(g["tris_l"]),
-            jnp.asarray(g["tris_r"]), jnp.asarray(g["tri_l"]),
-            jnp.asarray(g["tri_r"]))
+        buf = jnp.asarray(self.elas.pack_geometry(g))   # ONE upload
+        return self._dense_tail(desc1, desc2, buf)
 
     # -- blocking single-frame path -----------------------------------------
 
@@ -373,15 +393,15 @@ class StereoEngine:
                             "send/recv callbacks — docs/PERFORMANCE.md). "
                             "Use fused=False here.") from err
                     raise
-                # completion is forced by np.asarray above for host/dmap
-                # fetches; only then is the warning queue guaranteed to
-                # hold this dispatch's messages (callbacks run async)
-                try:
-                    while True:
-                        _warnings.warn("host geometry worker: "
-                                       + self._fused_warnq.get_nowait())
-                except queue.Empty:
-                    pass
+                # Engine-level best-effort drain: the queue is shared
+                # across in-flight dispatches (pipeline_depth > 1) and the
+                # callbacks run asynchronously, so messages surfaced here
+                # may belong to ANY dispatch — they are emitted untagged as
+                # engine-level warnings, and stream_batched drains the
+                # queue once more after the final batch so nothing is lost
+                # even in fetch="device" mode (nothing forces completion
+                # before this point there).
+                self._drain_fused_warnings()
                 t_dmap = time.perf_counter()
                 pts_np = (np.asarray(points) if fetch == "host" else points)
                 return t0, n, dmaps, pts_np, t_dmap
@@ -462,6 +482,10 @@ class StereoEngine:
                     pending.append(workers.submit(run_tail, e))
             if pending:
                 yield from emit(pending.popleft().result())
+        if fused:
+            # final drain: callbacks of the last dispatches may complete
+            # after their run_tail's drain (see _drain_fused_warnings)
+            self._drain_fused_warnings()
 
     # -- object fusion -------------------------------------------------------
 

@@ -375,6 +375,14 @@ def remove_small_segments(D, p: ElasParams):
     # partition, whole-frame exact.  SV_CCL_MODE=xla forces the XLA
     # formulation (A/B baseline; it measured ~520 ms/frame at 2484x750,
     # 73% of frame time — the r2 wide-frame configuration).
+    # SV_CCL_MODE is read at TRACE time (this function runs under jit and
+    # the jit cache is not keyed on it): set it BEFORE the first compile
+    # of a given shape; changing it afterwards is silently ignored for
+    # already-compiled shapes.  Values: auto (whole-frame kernel where
+    # VMEM-safe, else banded), banded (force banded), whole (whole-frame
+    # where VMEM-safe, else the XLA fallback — it will NOT force the
+    # whole-frame kernel past the VMEM guard; see the r4 post-mortem
+    # above), xla (force the XLA formulation, the A/B baseline).
     import os
     mode = os.environ.get("SV_CCL_MODE", "auto")
     banded = _round_up(H, 8) * _round_up(W, 128) * 4 * 7 > 14 * 2 ** 20
