@@ -87,6 +87,34 @@ class TestSharded:
         for i in range(4):
             assert np.array_equal(D1b[i], ref[i]), f"frame {i} differs"
 
+    def test_ccl_shards_over_tile(self):
+        """The speckle CCL under a mesh runs BANDED with shard-aligned
+        bands sharded over 'tile' (per-shard fixpoints + boundary-row
+        merge) — formerly it was tile-replicated (VERDICT r4 next #3).
+        Forced multi-band (_BAND_ROWS) at a non-dividing height; result
+        must be bit-identical to the XLA formulation."""
+        from stereovision_tpu.ops.pallas import ccl_pl
+        from stereovision_tpu.ops import postprocess as post
+        from stereovision_tpu.parallel import ctx as mesh_ctx
+        p = robotics_params(disp_max=63)
+        rng = np.random.default_rng(3)
+        H, W = 95, 160
+        D = np.where(rng.random((H, W)) < 0.7,
+                     rng.integers(0, 64, (H, W)).astype(np.float32), -10.0)
+        ref = np.asarray(jax.jit(
+            lambda d: post.remove_small_segments(d, p, 0))(D))
+
+        mesh = make_mesh(8, tile=2)
+        old = ccl_pl._BAND_ROWS
+        ccl_pl._BAND_ROWS = 16
+        try:
+            with mesh_ctx.pallas_mesh(mesh):
+                out = np.asarray(jax.jit(
+                    lambda d: ccl_pl.remove_small_segments(d, p))(D))
+        finally:
+            ccl_pl._BAND_ROWS = old
+        assert np.array_equal(out, ref)
+
     def test_dryrun_entry(self):
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
