@@ -172,10 +172,14 @@ def _fixpoint_call(shapes, stride: int, batch: int = 0, rounds: int = 0):
 
 
 def _fixpoint(conn, init, stride, rounds: int = 0):
-    """Run the in-VMEM fixpoint.  conn, init: (Hp, Wp) i32; init values must
-    lie in [0, stride).  Components cross row boundaries, so under an active
-    parallel.ctx mesh the kernel runs tile-REPLICATED (every 'tile' member
-    computes the full frame) and shards only the batch over 'stream'."""
+    """Run the whole-frame in-VMEM fixpoint.  conn, init: (Hp, Wp) i32;
+    init values must lie in [0, stride).  Components cross row boundaries,
+    so under an active parallel.ctx mesh this kernel runs tile-REPLICATED
+    and shards only the batch over 'stream' — which is why
+    remove_small_segments forces the BANDED path (shard-aligned bands
+    sharded over 'tile', see _banded_labels) whenever the mesh has more
+    than one 'tile' shard; this whole-frame form is only reached with a
+    1-shard tile axis."""
     from jax.sharding import PartitionSpec as P
     Hp, Wp = conn.shape[-2:]
 
@@ -257,7 +261,11 @@ def _banded_labels(conn_p, Hb: int):
     """Band-local component labels: the whole-frame fixpoint kernel run
     on row bands of Hb rows (each band's ~7 live planes sized to the
     16 MB scoped-VMEM sweet spot), bands on the kernel's batch grid
-    axis.
+    axis.  Under an active parallel.ctx mesh the band axis SHARDS over
+    'tile' (remove_small_segments pads the frame so the band count
+    divides the tile axis): each shard runs only its own bands'
+    fixpoints, and the cross-band merge afterwards doubles as the
+    shard-boundary merge.
 
     The kernel runs with BAND-LOCAL linear indices and
     stride = Hb*Wp + 1: the segmented-min re-key computes
@@ -280,10 +288,21 @@ def _banded_labels(conn_p, Hb: int):
 
     @jax.custom_batching.custom_vmap
     def run(c, i):
-        call = _fixpoint_call((Hb, Wp), stride, batch=nb)
-        if mesh_ctx.current() is None:
-            return call(c, i)
-        s = P(None, None, None)     # tile-replicated, like _fixpoint
+        cfg = mesh_ctx.current()
+        if cfg is None:
+            return _fixpoint_call((Hb, Wp), stride, batch=nb)(c, i)
+        mesh, _, t_ax = cfg
+        n_t = int(mesh.shape[t_ax])
+        if nb % n_t == 0:
+            # bands shard over 'tile': each shard runs its own band
+            # fixpoints (remove_small_segments pads Hp to an Hb*n_t
+            # multiple so this always divides under a mesh); the
+            # cross-band merge afterwards is the shard-boundary merge
+            call = _fixpoint_call((Hb, Wp), stride, batch=nb // n_t)
+            s = P(t_ax, None, None)
+        else:
+            call = _fixpoint_call((Hb, Wp), stride, batch=nb)
+            s = P(None, None, None)   # fallback: tile-replicated
         return mesh_ctx.shard_kernel(call, (s, s), s, c, i)
 
     @run.def_vmap
@@ -293,13 +312,25 @@ def _banded_labels(conn_p, Hb: int):
             if not b:
                 x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
             args.append(x.reshape(axis_size * nb, Hb, Wp))
-        call = _fixpoint_call((Hb, Wp), stride,
-                              batch=mesh_ctx.batch_split(axis_size) * nb)
-        if mesh_ctx.current() is None:
-            out = call(*args)
+        cfg = mesh_ctx.current()
+        if cfg is None:
+            out = _fixpoint_call((Hb, Wp), stride,
+                                 batch=axis_size * nb)(*args)
         else:
-            _, s_ax, _ = mesh_ctx.current()
-            s = P(s_ax, None, None)   # frames over 'stream' (B-major)
+            mesh, s_ax, t_ax = cfg
+            n_t = int(mesh.shape[t_ax])
+            B_local = mesh_ctx.batch_split(axis_size)
+            if nb % n_t == 0:
+                # flattened (frame, band) axis over ('stream' major,
+                # 'tile' minor): stream chunks are whole frames (B-major
+                # flattening), tile sub-chunks are whole bands — every
+                # band computed exactly once
+                call = _fixpoint_call((Hb, Wp), stride,
+                                      batch=B_local * nb // n_t)
+                s = P((s_ax, t_ax), None, None)
+            else:
+                call = _fixpoint_call((Hb, Wp), stride, batch=B_local * nb)
+                s = P(s_ax, None, None)   # frames over 'stream' only
             out = mesh_ctx.shard_kernel(call, (s, s), s, *args)
         return out.reshape(axis_size, nb, Hb, Wp), True
 
@@ -389,7 +420,13 @@ def remove_small_segments(D, p: ElasParams):
     if mode == "xla" or (banded and mode == "whole"):
         from .. import postprocess as post
         return post.remove_small_segments(D, p, 0)
-    if mode == "banded":
+    n_t = mesh_ctx.row_multiple()
+    if mode == "banded" or n_t > 1:
+        # under a multi-shard 'tile' mesh the CCL always runs banded with
+        # shard-aligned bands: per-shard in-VMEM fixpoints via shard_map
+        # (_banded_labels shards the band axis over 'tile') + the
+        # cross-band boundary merge.  Replicating the whole-frame kernel
+        # (the pre-r5 behaviour) wasted a factor n_t of device compute.
         banded = True
     speckle = p.speckle_size
     if p.subsampling:
@@ -417,7 +454,14 @@ def remove_small_segments(D, p: ElasParams):
         # band multiple (padding rows: conn 0 -> size-1 singletons,
         # cropped before the threshold)
         Hb = _BAND_ROWS or max((12 * 2 ** 20 // (Wp * 4 * 7)) // 8 * 8, 8)
-        Hp = _round_up(Hp, Hb)
+        if n_t > 1:
+            # shard-aligned: bands no taller than one tile shard's rows
+            # and Hp padded to an Hb*n_t multiple, so the band count
+            # divides 'tile' and every member owns whole bands
+            Hb = min(Hb, _round_up(-(-Hp // n_t), 8))
+            Hp = _round_up(Hp, Hb * n_t)
+        else:
+            Hp = _round_up(Hp, Hb)
     conn_p = jnp.pad(conn, ((0, Hp - H), (0, Wp - W)))   # padding: singletons
     n = Hp * Wp
     stride = n + 1

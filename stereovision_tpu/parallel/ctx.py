@@ -10,11 +10,14 @@ with zero halo exchange because every kernel except CCL is row-local:
               row blocks shard over 'tile', the batch over 'stream'.
   support   — candidate-row stripes are independent; same layout.
   LR check  — pure along-row consistency; same layout.
-  CCL       — a global connected-components fixpoint; it runs
-              tile-REPLICATED (every 'tile' member computes the full
-              frame) and shards only over 'stream'.  Segments cross row
-              boundaries, so this is the correct-by-construction choice;
-              postprocessing is a small fraction of frame time.
+  CCL       — a global connected-components fixpoint.  Under a
+              multi-shard 'tile' axis it runs BANDED with shard-aligned
+              bands (ops/pallas/ccl_pl.py): each 'tile' member runs the
+              in-VMEM fixpoint on its own row bands, then the
+              boundary-row label merge (an O(boundary) XLA scatter/jump
+              loop, GSPMD-partitioned) unions components across shard
+              edges — the exact whole-frame partition.  Only the
+              whole-frame kernel of a 1-shard tile axis replicates.
 
 The context is thread-local and consulted at TRACE time: the sharded
 pipeline enters `pallas_mesh(mesh)` around the first call of its jitted

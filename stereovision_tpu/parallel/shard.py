@@ -52,9 +52,11 @@ class ShardedStereoPipeline:
     bench.py runs) the XLA glue is partitioned by GSPMD over the padded
     row axis, while each pallas_call dispatches per shard through
     jax.shard_map (see parallel.ctx): matching/support/LR shard their row
-    blocks over 'tile' with no halo; CCL runs tile-replicated (its
-    components cross shard boundaries; the whole-frame-in-VMEM kernel is
-    the fast formulation at production sizes — see docs/PERFORMANCE.md).
+    blocks over 'tile' with no halo; the speckle CCL runs BANDED with
+    shard-aligned bands — per-shard in-VMEM fixpoints sharded over
+    'tile' plus a cross-band boundary-row label merge (exactly the
+    whole-frame partition; ops/pallas/ccl_pl.py, tested bit-exact by
+    tests/test_parallel.py::test_ccl_shards_over_tile).
     """
 
     def __init__(self, params: ElasParams, width: int, height: int,

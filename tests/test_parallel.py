@@ -107,13 +107,25 @@ class TestSharded:
         mesh = make_mesh(8, tile=2)
         old = ccl_pl._BAND_ROWS
         ccl_pl._BAND_ROWS = 16
+        batches = []
+        real_call = ccl_pl._fixpoint_call
+
+        def spy(shapes, stride, batch=0, rounds=0):
+            batches.append(batch)
+            return real_call(shapes, stride, batch=batch, rounds=rounds)
+
+        ccl_pl._fixpoint_call = spy
         try:
             with mesh_ctx.pallas_mesh(mesh):
                 out = np.asarray(jax.jit(
                     lambda d: ccl_pl.remove_small_segments(d, p))(D))
         finally:
             ccl_pl._BAND_ROWS = old
+            ccl_pl._fixpoint_call = real_call
         assert np.array_equal(out, ref)
+        # genuinely sharded, not replicated: 96 rows / 16-row bands = 6
+        # bands split over the 2-way tile axis -> per-shard batch 3
+        assert batches == [3]
 
     def test_dryrun_entry(self):
         import __graft_entry__ as ge
