@@ -106,29 +106,46 @@ def floor_fps_for(W, H, sub, batch, n_frames=160, pipeline_depth=3):
 
 
 def main():
+    import argparse
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax_sv"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    # (scale, sub, batch from the sweep's batch policy, measured sweep FPS,
-    #  reference CUDA FPS) — the r4/r5 losing tiny rows plus 1.5 sub as a
-    # mid-size anchor
-    rows = [
-        (1.5, 1, 9, None, 46.30),
-        (2.0, 1, 16, None, 78.26),
-        (2.5, 0, 32, None, 61.39),
-        (2.5, 1, 16, None, 117.30),
-        (3.0, 1, 16, None, 166.44),
-    ]
+    from stereovision_tpu.bench.sweep import CUDA_FPS
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="",
+                    help="comma list of scale:sub[=batch] to floor-bound "
+                         "(default: the r4/r5 losing tiny rows + 1.5 sub "
+                         "anchor); batch defaults to the sweep policy")
+    ap.add_argument("--out", default="bench/tunnel_floor.json")
+    args = ap.parse_args()
+
+    # (scale, sub, batch) — batch None = mirror sweep.py's policy
+    if args.configs:
+        rows = []
+        for item in args.configs.split(","):
+            cfg, _, bb = item.partition("=")
+            sc, su = cfg.split(":")
+            rows.append((float(sc), int(su), int(bb) if bb else None))
+    else:
+        # the r4/r5 losing tiny rows plus 1.5 sub as a mid-size anchor
+        rows = [(1.5, 1, None), (2.0, 1, None), (2.5, 0, None),
+                (2.5, 1, None), (3.0, 1, None)]
+    out_path = args.out if os.path.isabs(args.out) else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        args.out)
     out = []
-    for scale, sub, batch, measured, cuda in rows:
+    for scale, sub, batch in rows:
         W, H = int(1242 / scale), int(375 / scale)
-        # mirror sweep.py's output-lattice batch cap policy
-        ref_px = 1242 * 375
-        b0 = 4 if sub else 8
-        batch = max(1, min(4 * b0, b0 * ref_px // (W * H)))
+        if batch is None:
+            # mirror sweep.py's output-lattice batch cap policy
+            ref_px = 1242 * 375
+            b0 = 4 if sub else 8
+            batch = max(1, min(4 * b0, b0 * ref_px // (W * H)))
+        cuda = CUDA_FPS.get((round(scale, 2), int(sub)))
         reps = []
         for _ in range(3):
             reps.append(floor_fps_for(W, H, bool(sub), batch))
@@ -139,9 +156,7 @@ def main():
                "cuda_fps": cuda}
         log(row)
         out.append(row)
-        with open(os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "bench",
-                "tunnel_floor.json"), "w") as f:
+        with open(out_path, "w") as f:
             json.dump({"note": "empty-pipeline FPS through the axon "
                        "tunnel: real stream_batched machinery, trivial "
                        "device kernels, cached host geometry — the "
