@@ -16,18 +16,32 @@ def plot_sweep(csv_path: str, out_png: str = "sweep.png"):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    # hue follows the CONFIG (full-res vs subsampled, Okabe-Ito CVD-safe
+    # blue/orange); line style separates ours (solid) from the reference
+    # CUDA build (dashed) so identity never rides on color alone
+    hue = {0: "#0072B2", 1: "#E69F00"}
     series = defaultdict(list)
+    cuda = defaultdict(list)
     for r in rows:
         key = (r["config"], int(r["subsampling"]))
         series[key].append((float(r["scale"]), float(r["avg_fps"])))
+        if r.get("cuda_fps"):
+            cuda[int(r["subsampling"])].append(
+                (float(r["scale"]), float(r["cuda_fps"])))
     fig, ax = plt.subplots(figsize=(8, 5))
     for (config, sub), pts in sorted(series.items()):
         pts.sort()
-        label = f"{config}{' +sub' if sub else ''}"
+        label = f"TPU {config}{' +sub' if sub else ''}"
         ax.plot([p[0] for p in pts], [p[1] for p in pts],
-                marker="o", label=label)
+                marker="o", markersize=4, lw=2, color=hue[sub], label=label)
+    for sub, pts in sorted(cuda.items()):
+        pts.sort()
+        ax.plot([p[0] for p in pts], [p[1] for p in pts], "--", lw=2,
+                color=hue[sub], alpha=0.75,
+                label=f"reference CUDA{' +sub' if sub else ''}")
     ax.set_xlabel("scale factor (image shrink)")
-    ax.set_ylabel("AVG_FPS")
+    ax.set_ylabel("AVG_FPS (log)")
+    ax.set_yscale("log")
     ax.set_title("stereovision_tpu throughput sweep (kitti_mini)")
     ax.grid(True, alpha=0.3)
     ax.legend()
