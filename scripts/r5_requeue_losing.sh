@@ -12,7 +12,10 @@ cd /root/repo
 export JAX_CACHE_DIR=/root/.cache/jax_sv
 master=bench/sweep_r5_runs.csv
 log=bench/r5_requeue.log
-OVR="2.5:0=16,2.1:0=16,2.1:1=8"
+# 591x178 faults at policy batches (32 full / 16 sub); batch 12 is the
+# largest stable sub batch there and clears CUDA where batch 8 lost
+# ~30% throughput (bench/sweep_r5_runs.csv, docs/KNOWN_ISSUES.md)
+OVR="2.5:0=16,2.1:0=16,2.1:1=12"
 
 run_one() {  # scale sub
   tmp=bench/.tmp_requeue_$1_$2.csv
