@@ -22,7 +22,10 @@ overlap kicks in — and session-to-session tunnel drift is ~±15%
 (VERDICT r4 weak #1).  The whole-run mean ships as whole_run_fps.
 
 Environment knobs: SV_BENCH_BATCH, SV_BENCH_FRAMES (default 168),
-SV_BENCH_CONFIGS=full|sub|both (default both).
+SV_BENCH_CONFIGS=full|sub|both (default both), SV_BENCH_DEPTH
+(pipeline depth, default 3 — depth 5 measured SLOWER on the sub
+config same-session, 16.9 vs 20.0 whole-run), SV_BENCH_REPS
+(windows, default 5).
 """
 
 import json
@@ -47,6 +50,7 @@ def run_config(subsampling: bool, imgs, calib, W, H):
     # stream call) — the reference's AVG_FPS is likewise measured over
     # whole sequences (results_log.txt)
     n_frames = int(os.environ.get("SV_BENCH_FRAMES", "168"))
+    depth = int(os.environ.get("SV_BENCH_DEPTH", "3"))
     eng = StereoEngine(calib, W, H, subsampling=subsampling)
 
     def frames(n):
@@ -57,7 +61,7 @@ def run_config(subsampling: bool, imgs, calib, W, H):
     # spin up the host geometry pool, and reach steady state
     t0 = time.time()
     for _ in eng.stream_batched(frames(4 * batch), batch=batch,
-                                fetch="dmap", pipeline_depth=3):
+                                fetch="dmap", pipeline_depth=depth):
         pass
     log(f"[sub={int(subsampling)}] compile+warmup: {time.time() - t0:.1f}s")
 
@@ -70,17 +74,21 @@ def run_config(subsampling: bool, imgs, calib, W, H):
     stamps = []
     out = None
     for out in eng.stream_batched(frames(n_frames), batch=batch,
-                                  fetch="dmap", pipeline_depth=3):
+                                  fetch="dmap", pipeline_depth=depth):
         stamps.append(time.time())
     dt = stamps[-1] - t0
     fps = len(stamps) / dt
-    seg = max(len(stamps) // reps, 1)
+    # windows are BATCH-ALIGNED (the r5 sweep protocol, bench.sweep):
+    # whole batches emit in one burst, so a boundary inside a batch
+    # splits the burst and adds noise without information
+    seg = max((len(stamps) // reps) // batch * batch, batch)
     win = []
     for k in range(reps):
         lo, hi = k * seg, min((k + 1) * seg, len(stamps)) - 1
+        if lo >= len(stamps) or hi <= lo:
+            continue
         tlo = t0 if lo == 0 else stamps[lo - 1]
-        if hi > lo:
-            win.append((hi - lo + 1) / (stamps[hi] - tlo))
+        win.append((hi - lo + 1) / (stamps[hi] - tlo))
     win.sort()
     if not win:      # tiny SV_BENCH_FRAMES: no window spans >1 frame
         win = [fps]
