@@ -23,6 +23,7 @@ import numpy as np
 
 _sv = None
 _last = None
+_last_colors = None
 
 
 def generate(left, right, calibration_yaml, width, height,
@@ -65,8 +66,16 @@ def generate(left, right, calibration_yaml, width, height,
             return a.reshape(height, width, 3)
         return a.reshape(height, width)
 
+    L = as_img(left)
+    if L.ndim == 2:
+        L4 = np.stack([L, L, L, np.full_like(L, 255)], axis=-1)
+    elif L.shape[-1] == 3:
+        L4 = np.concatenate(
+            [L, np.full(L.shape[:2] + (1,), 255, np.uint8)], axis=-1)
+    else:
+        L4 = L
     pts = np.ascontiguousarray(
-        _sv.generatePointCloud(as_img(left), as_img(right)),
+        _sv.generatePointCloud(L, as_img(right)),
         dtype=np.float64)
     if _last is not None and _last.shape == pts.shape:
         # reference-static semantics (stereo_vision.cpp:565 returns the
@@ -75,14 +84,28 @@ def generate(left, right, calibration_yaml, width, height,
         np.copyto(_last, pts)
     else:
         _last = pts
+    c4 = np.ascontiguousarray(L4)
+    global _last_colors
+    if _last_colors is not None and _last_colors.shape == c4.shape:
+        np.copyto(_last_colors, c4)
+    else:
+        _last_colors = c4
     return int(_last.ctypes.data)
+
+
+def get_color():
+    """Reference ``getColor()`` (stereo_vision.cpp:626-628): the Uchar4
+    per-point color array of the last processed frame — the left image's
+    BGRA pixels, one per point-cloud entry.  Returns the address (int),
+    or 0 before the first generate()."""
+    return 0 if _last_colors is None else int(_last_colors.ctypes.data)
 
 
 def clean():
     """Reference ``clean()`` (stereo_vision.cpp:106-114): release the
     engine's worker threads/processes and drop the cached cloud buffer.
     A later generate() call re-initializes from its arguments."""
-    global _sv, _last
+    global _sv, _last, _last_colors
     if _sv is not None:
         try:
             _sv.engine.close()
@@ -90,3 +113,4 @@ def clean():
             pass
     _sv = None
     _last = None
+    _last_colors = None

@@ -96,6 +96,24 @@ double *generatePointCloud(unsigned char *left, unsigned char *right,
     return out;
 }
 
+unsigned char *getColor(void) {
+    // reference getColor() (stereo_vision.cpp:626-628): per-point BGRA
+    // colors of the last frame; null before the first generatePointCloud
+    if (!Py_IsInitialized() || !g_mod)
+        return nullptr;
+    PyGILState_STATE gs = PyGILState_Ensure();
+    unsigned char *out = nullptr;
+    PyObject *res = PyObject_CallMethod(g_mod, "get_color", nullptr);
+    if (!res) {
+        PyErr_Print();
+    } else {
+        out = reinterpret_cast<unsigned char *>(PyLong_AsVoidPtr(res));
+        Py_DECREF(res);
+    }
+    PyGILState_Release(gs);
+    return out;
+}
+
 void clean(void) {
     if (!Py_IsInitialized())
         return;

@@ -69,6 +69,11 @@ def test_ctypes_surface_matches_python_engine():
     assert pts.shape == (W * H, 3)
     assert np.isfinite(pts).any()
 
+    # getColor (reference stereo_vision.cpp:626-628): per-point BGRA of
+    # the last left frame
+    lib.getColor.restype = ndpointer(dtype=np.uint8, shape=(H, W, 4))
+    assert np.array_equal(np.asarray(lib.getColor()), Lb)
+
     from stereovision_tpu.engine import StereoVision
     sv = StereoVision(width=W, height=H, objectTracking=False)
     ref = sv.generatePointCloud(Lb, Rb)
